@@ -591,6 +591,10 @@ def readability_top_node(tree: Node) -> Optional[Node]:
             continue
         content_score = 1.0 + inner.count(",") + inner.count("，")
         content_score += min(len(inner) // 100, 3)
+        # the block itself is a candidate too (robustness: content attached
+        # directly under the document root must still be extractable)
+        skey = ensure(node)
+        scores[skey] = (scores[skey][0] + content_score, node)
         parent = node.parent
         if parent is not None and parent.tag != "[document]":
             key = ensure(parent)

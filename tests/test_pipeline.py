@@ -1,0 +1,54 @@
+"""Pipeline-level regressions and plan checks."""
+import pyspark.sql.functions as F
+
+from newsspark.pipeline import method_metrics, run_extract
+
+
+def test_null_html_rows_survive_the_size_lane(spark):
+    # Regression: length(html) > N is NULL for NULL html; the row must not
+    # fall through both lanes (caught during runtime verification, round 1).
+    rows = [("https://x.com/a", None), ("https://x.com/b", b"<p>hi</p>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = run_extract(spark, df, num_partitions=2).collect()
+    assert len(out) == 2
+    null_row = [r for r in out if r["url"] == "https://x.com/a"][0]
+    assert null_row["method"] == "none" and null_row["error"] is not None
+
+
+def test_size_lane_routes_large_docs(spark):
+    big = ("<html><body><article>" + "<p>big page paragraph with plenty of words, commas, and text.</p>" * 2000 + "</article></body></html>").encode()
+    rows = [("https://x.com/big", big)] + [
+        (f"https://x.com/s{i}", b"<p>small.</p>") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = run_extract(spark, df, num_partitions=2, size_lane_bytes=1024).collect()
+    assert len(out) == 11
+    big_row = [r for r in out if r["url"] == "https://x.com/big"][0]
+    assert big_row["error"] is None and len(big_row["text"]) > 1000
+
+
+def test_column_pruning_reaches_the_scan(spark, tmp_path):
+    # Only (url, html) may be read from the pages table — ReadSchema must not
+    # include text/lang/warc_ts (SURVEY.md §4.2 column pruning).
+    p = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("u1", None, b"<p>x</p>", "txt", "ko")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(p)
+    pages = spark.read.parquet(p)
+    plan = run_extract(spark, pages)._jdf.queryExecution().executedPlan().toString()
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines, plan
+    for line in read_lines:
+        schema_part = line.split("ReadSchema")[1]
+        assert "html" in schema_part
+        assert "text" not in schema_part and "lang" not in schema_part, line
+
+
+def test_method_metrics_schema(spark):
+    df = spark.createDataFrame(
+        [("u", b"<p>x</p>")], "url string, html binary"
+    )
+    m = method_metrics(run_extract(spark, df, num_partitions=1))
+    assert set(m.columns) == {"method", "n_rows", "n_failed", "text_chars"}
+    assert m.count() >= 1
