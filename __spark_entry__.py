@@ -1,38 +1,139 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction job on sf0.001;
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+plus the training-data pipeline ops; ``oracle_sql()`` provides DuckDB twins
+for everything SQL-expressible (rows-only for the extraction engines and
+xxhash-based ops, per the contract).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from newsspark import textops
+from newsspark.contract_sql import DUCK_SQL, SPARK_SQL
+from newsspark.pages import pages_df
+from newsspark.pipeline import method_metrics, run_extract
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    # escapedStringLiterals makes Spark SQL string literals read like DuckDB's
+    # (backslashes verbatim), so regex texts are byte-identical across engines.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    for t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _sql(name: str):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(SPARK_SQL[name])
+
+    return runner
+
+
+# --- extraction pipeline (rows-only: the engines are not SQL-expressible) ---
+
+
+def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_df(spark, sf_dir)
+    articles = run_extract(spark, pages)
+    return articles.select(
+        "url",
+        "title",
+        "date",
+        "method",
+        "error",
+        F.size("images").alias("n_images"),
+        F.length("text").alias("text_len"),
+    )
+
+
+def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_df(spark, sf_dir)
+    return method_metrics(run_extract(spark, pages))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction cascade over pages synthesized from
+    sf0.001 documents (url-hash repartition, size lane, error column)."""
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    return run_extract(spark, pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # extraction engines end-to-end (rows-only checks)
+        "extract_cascade": _extract_cascade,
+        "extract_metrics": _extract_metrics,
+        # SQL-expressible extraction semantics (oracle-checked)
+        "length_gate": _sql("length_gate"),
+        "method_join": _sql("method_join"),
+        "date_coalesce": _sql("date_coalesce"),
+        "url_date_parse": _sql("url_date_parse"),
+        "image_filter": _sql("image_filter"),
+        "dedupe_cap": _sql("dedupe_cap"),
+        "clean_text_lines": _sql("clean_text_lines"),
+        # training-data pipeline ops — oracle-checked entries run the Spark
+        # SQL twin (exact type parity with DuckDB); the DataFrame-native
+        # builders in newsspark.textops are the library API and are proven
+        # equivalent in tests/test_textops.py
+        "dedup_exact": _sql("dedup_exact"),
+        "token_count": _sql("token_count"),
+        "jaccard_adjacent": _sql("jaccard_adjacent"),
+        "doc_fingerprint": _sql("doc_fingerprint"),
+        "lang_id": _sql("lang_id"),
+        "quality_score": _sql("quality_score"),
+        "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
+        # xxhash-based ops (no DuckDB equivalent -> rows-only checks)
+        "dedup_minhash_lsh": lambda s, d: textops.dedup_minhash_lsh(_docs(s, d)),
+        "simhash64": lambda s, d: textops.simhash64(_docs(s, d)),
+        "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)),
+        # relational demonstrations
+        "tpch_pricing_summary": _sql("tpch_pricing_summary"),
+        "join_orders_by_nation": _sql("join_orders_by_nation"),
+        "events_hourly": _sql("events_hourly"),
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins. Omitted keys (extract_*, dedup_minhash_lsh, simhash64,
+    ann_lsh_topk) are rows-only: engines/xxhash64 are not reproducible in
+    DuckDB."""
+    oracle_names = [
+        "length_gate",
+        "method_join",
+        "date_coalesce",
+        "url_date_parse",
+        "image_filter",
+        "dedupe_cap",
+        "clean_text_lines",
+        "dedup_exact",
+        "token_count",
+        "jaccard_adjacent",
+        "doc_fingerprint",
+        "lang_id",
+        "quality_score",
+        "ann_bruteforce_topk",
+        "tpch_pricing_summary",
+        "join_orders_by_nation",
+        "events_hourly",
+    ]
+    return {n: DUCK_SQL[n] for n in oracle_names}

@@ -1,0 +1,470 @@
+"""Dual-dialect SQL for the driver's correctness gate.
+
+Each key has a Spark SQL text (run via ``spark.sql`` over temp views of the
+sf-dir parquet tables) and a DuckDB oracle text (run by the driver over the
+same parquet, views pre-registered).  Texts are kept structurally identical;
+where one string serves both dialects it is defined once.
+
+Conventions that make the value-hash comparison exact:
+- every computed column is aliased identically on both sides;
+- counts/sizes are CAST to BIGINT on both sides (DuckDB sum() yields HUGEINT,
+  Spark size() yields INT — both normalized);
+- money aggregates go through DECIMAL(18,2) so floating summation order can
+  never flip a cent;
+- Spark runs with spark.sql.parser.escapedStringLiterals=true so regex/string
+  literals read byte-identically in both dialects; newlines are chr(10).
+
+SURVEY.md §2 rows covered here: E2 (image_filter), F3 (url_date_parse),
+G1 (date_coalesce), C3 (dedupe_cap), C4 (method_join), B4 (length_gate),
+H1 (clean_text_lines) — the SQL-expressible projections of the extraction
+semantics, exercised over the ``documents`` table per FIXTURES.md §5.
+"""
+
+SPARK_SQL: dict = {}
+DUCK_SQL: dict = {}
+
+
+def _both(name: str, sql: str) -> None:
+    SPARK_SQL[name] = sql
+    DUCK_SQL[name] = sql
+
+
+def _dual(name: str, spark_sql: str, duck_sql: str) -> None:
+    SPARK_SQL[name] = spark_sql
+    DUCK_SQL[name] = duck_sql
+
+
+# --- B4: length gate (extractor.py:303-304) --------------------------------
+_both(
+    "length_gate",
+    """
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n_chars < 100
+            THEN '모든 추출 방법 실패: 본문을 찾을 수 없습니다'
+            ELSE '' END AS error
+FROM documents
+ORDER BY doc_id
+""",
+)
+
+# --- C4: method tag accumulation (extractor.py:248,271,294,299) -------------
+_both(
+    "method_join",
+    """
+SELECT doc_id,
+       CASE WHEN m = '' THEN 'none' ELSE m END AS method
+FROM (
+  SELECT doc_id,
+         concat_ws(', ',
+           CASE WHEN doc_id % 2 = 0 THEN 'trafilatura' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'newspaper3k' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'readability' END) AS m
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- G1: date coalesce order (extractor.py:161-203) --------------------------
+_both(
+    "date_coalesce",
+    """
+SELECT doc_id,
+       coalesce(nullif(meta_date, ''), nullif(time_date, ''),
+                nullif(url_date, ''), '') AS date
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN concat('2026-01-', lpad(CAST(1 + doc_id % 28 AS VARCHAR(8)), 2, '0')) ELSE '' END AS meta_date,
+         CASE WHEN doc_id % 4 = 0 THEN '2025-12-31T08:00:00' ELSE '' END AS time_date,
+         CASE WHEN doc_id % 2 = 0 THEN concat('2024-', lpad(CAST(1 + doc_id % 12 AS VARCHAR(8)), 2, '0'), '-15') ELSE '' END AS url_date
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- F3: URL date regex, unvalidated (extractor.py:197-201) ------------------
+_both(
+    "url_date_parse",
+    r"""
+SELECT doc_id, url,
+       CASE WHEN regexp_extract(url, '/(\d{4})[-/]?(\d{2})[-/]?(\d{2})', 1) = ''
+            THEN ''
+            ELSE concat(
+              regexp_extract(url, '/(\d{4})[-/]?(\d{2})[-/]?(\d{2})', 1), '-',
+              regexp_extract(url, '/(\d{4})[-/]?(\d{2})[-/]?(\d{2})', 2), '-',
+              regexp_extract(url, '/(\d{4})[-/]?(\d{2})[-/]?(\d{2})', 3)) END AS url_date
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN concat('https://ex.com/',
+                          CAST(2000 + doc_id % 27 AS VARCHAR(8)), '/',
+                          lpad(CAST(1 + doc_id % 14 AS VARCHAR(8)), 2, '0'), '/',
+                          lpad(CAST(1 + doc_id % 41 AS VARCHAR(8)), 2, '0'),
+                          '/article-', CAST(doc_id AS VARCHAR(16)))
+              ELSE concat('https://ex.com/a/', CAST(doc_id AS VARCHAR(16))) END AS url
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- E2: image filter (extractor.py:47-90) -----------------------------------
+# Candidate urls synthesized per doc; output one row per (doc, candidate)
+# with the keep/drop verdict.
+_IMG_CANDS = """
+  SELECT doc_id, concat('https://img.ex.com/photo_', CAST(doc_id AS VARCHAR(16)), '_',
+                        CAST(200 + doc_id % 1000 AS VARCHAR(8)), 'x',
+                        CAST(100 + doc_id % 900 AS VARCHAR(8)), '.jpg') AS img FROM documents
+  UNION ALL SELECT doc_id, concat('https://img.ex.com/logo_', CAST(doc_id AS VARCHAR(16)), '.png') FROM documents
+  UNION ALL SELECT doc_id, concat('https://img.ex.com/pic', CAST(doc_id AS VARCHAR(16)), '.svg') FROM documents
+  UNION ALL SELECT doc_id, concat('https://img.ex.com/KAKAO_', CAST(doc_id AS VARCHAR(16)), '_800x600.jpg') FROM documents
+  UNION ALL SELECT doc_id, concat('https://img.ex.com/news_', CAST(doc_id AS VARCHAR(16)), '_', CAST(300 + doc_id % 3000 AS VARCHAR(8)), 'x400.jpg') FROM documents
+  UNION ALL SELECT doc_id, concat('https://img.ex.com/plain_', CAST(doc_id AS VARCHAR(16)), '.jpeg') FROM documents
+"""
+_both(
+    "image_filter",
+    rf"""
+SELECT doc_id, img,
+       CASE
+         WHEN img LIKE '%.svg' OR img LIKE '%.gif' THEN false
+         WHEN contains(lower(img), '/logo') OR contains(lower(img), '_logo')
+           OR contains(lower(img), 'logo_') OR contains(lower(img), '/icon')
+           OR contains(lower(img), '/btn_') OR contains(lower(img), '/banner/')
+           OR contains(lower(img), '/ad_') OR contains(lower(img), '/ads/')
+           OR contains(lower(img), '/thumb') OR contains(lower(img), '/profile')
+           OR contains(lower(img), '/avatar') OR contains(lower(img), '/emoji')
+           OR contains(lower(img), '/symbol') OR contains(lower(img), 'office_logo')
+           OR contains(lower(img), 'default') OR contains(lower(img), 'placeholder')
+           OR contains(lower(img), 'no_image') OR contains(lower(img), 'noimage')
+           OR contains(lower(img), 'mannerbot') OR contains(lower(img), 'people_default')
+           THEN false
+         WHEN contains(lower(img), 'kakao') OR contains(lower(img), 'facebook')
+           OR contains(lower(img), 'twitter') OR contains(lower(img), 'share')
+           OR contains(lower(img), 'sns') OR contains(lower(img), 'ic-')
+           THEN false
+         WHEN regexp_extract(img, '(_ir_)?(\d+)x(\d+)', 2) <> '' AND (
+              CAST(regexp_extract(img, '(_ir_)?(\d+)x(\d+)', 2) AS BIGINT) < 300
+           OR CAST(regexp_extract(img, '(_ir_)?(\d+)x(\d+)', 3) AS BIGINT) < 300
+           OR CAST(greatest(CAST(regexp_extract(img, '(_ir_)?(\d+)x(\d+)', 2) AS BIGINT),
+                            CAST(regexp_extract(img, '(_ir_)?(\d+)x(\d+)', 3) AS BIGINT)) AS DOUBLE)
+              / CAST(least(CAST(regexp_extract(img, '(_ir_)?(\d+)x(\d+)', 2) AS BIGINT),
+                           CAST(regexp_extract(img, '(_ir_)?(\d+)x(\d+)', 3) AS BIGINT)) AS DOUBLE) > 5.0)
+           THEN false
+         ELSE true
+       END AS keep
+FROM ({_IMG_CANDS}) c
+ORDER BY doc_id, img
+""",
+)
+
+# --- C3: ordered dedupe + cap 5 (extractor.py:155, 300) ----------------------
+_dual(
+    "dedupe_cap",
+    """
+SELECT doc_id,
+       slice(array_distinct(cands), 1, 5) AS images,
+       CAST(size(slice(array_distinct(cands), 1, 5)) AS BIGINT) AS n_images
+FROM (
+  SELECT doc_id,
+         array(concat('u', CAST(doc_id % 7 AS VARCHAR(8))),
+               concat('u', CAST(doc_id % 5 AS VARCHAR(8))),
+               concat('u', CAST(doc_id % 7 AS VARCHAR(8))),
+               concat('u', CAST(doc_id % 3 AS VARCHAR(8))),
+               concat('u', CAST(doc_id % 11 AS VARCHAR(8))),
+               concat('u', CAST(doc_id % 5 AS VARCHAR(8))),
+               concat('u', CAST(doc_id % 13 AS VARCHAR(8))),
+               concat('u', CAST(doc_id % 2 AS VARCHAR(8)))) AS cands
+  FROM documents) t
+ORDER BY doc_id
+""",
+    """
+SELECT doc_id,
+       list_slice(list_filter(cands, (x, i) -> list_position(cands, x) = i), 1, 5) AS images,
+       CAST(len(list_slice(list_filter(cands, (x, i) -> list_position(cands, x) = i), 1, 5)) AS BIGINT) AS n_images
+FROM (
+  SELECT doc_id,
+         [concat('u', CAST(doc_id % 7 AS VARCHAR(8))),
+          concat('u', CAST(doc_id % 5 AS VARCHAR(8))),
+          concat('u', CAST(doc_id % 7 AS VARCHAR(8))),
+          concat('u', CAST(doc_id % 3 AS VARCHAR(8))),
+          concat('u', CAST(doc_id % 11 AS VARCHAR(8))),
+          concat('u', CAST(doc_id % 5 AS VARCHAR(8))),
+          concat('u', CAST(doc_id % 13 AS VARCHAR(8))),
+          concat('u', CAST(doc_id % 2 AS VARCHAR(8)))] AS cands
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- H1: boilerplate line strip (extractor.py:521-534) ------------------------
+_H1_RAW = (
+    "concat('  Headline line  ', chr(10), text, chr(10), chr(10), chr(10), "
+    "'무단 전재 및 재배포 금지', chr(10), 'ⓒ Example Corp', chr(10), "
+    "'Copyright 2026', chr(10), '▶ 관련기사', chr(10), "
+    "'tail ', CAST(doc_id % 7 AS VARCHAR(8)))"
+)
+_H1_COND = (
+    "x <> '' AND NOT (contains(x, '무단 전재') OR contains(x, '재배포 금지') "
+    "OR contains(x, 'ⓒ') OR contains(x, 'Copyright') OR contains(x, '▶'))"
+)
+_dual(
+    "clean_text_lines",
+    f"""
+SELECT doc_id,
+       array_join(filter(transform(split(raw, chr(10)), x -> trim(x)),
+                         x -> {_H1_COND}), chr(10)) AS cleaned
+FROM (SELECT doc_id, {_H1_RAW} AS raw FROM documents) t
+ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id,
+       array_to_string(list_filter(list_transform(string_split(raw, chr(10)), x -> trim(x)),
+                                   x -> {_H1_COND}), chr(10)) AS cleaned
+FROM (SELECT doc_id, {_H1_RAW} AS raw FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- training-data ops -------------------------------------------------------
+
+_both(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+""",
+)
+
+_TOK_SPARK = "split(trim(lower(text)), '\\s+')"
+_TOK_DUCK = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+_dual(
+    "token_count",
+    f"""
+SELECT doc_id, CAST(size({_TOK_SPARK}) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id, CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+)
+
+_dual(
+    "jaccard_adjacent",
+    f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(size(array_intersect(a.tset, b.tset)) AS BIGINT) AS n_common,
+       CAST(size(array_union(a.tset, b.tset)) AS BIGINT) AS n_union
+FROM (SELECT doc_id, array_distinct({_TOK_SPARK}) AS tset FROM documents) a
+JOIN (SELECT doc_id, array_distinct({_TOK_SPARK}) AS tset FROM documents) b
+  ON a.doc_id + 1 = b.doc_id
+ORDER BY doc_a
+""",
+    f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS n_common,
+       CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS BIGINT) AS n_union
+FROM (SELECT doc_id, list_distinct({_TOK_DUCK}) AS tset FROM documents) a
+JOIN (SELECT doc_id, list_distinct({_TOK_DUCK}) AS tset FROM documents) b
+  ON a.doc_id + 1 = b.doc_id
+ORDER BY doc_a
+""",
+)
+
+_dual(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id,
+       aggregate({_TOK_SPARK}, CAST(0 AS BIGINT),
+                 (acc, t) -> pmod(acc * 31 + ascii(t) * 7 + length(t), 1000000007)) AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform({_TOK_DUCK},
+                                     t -> CAST(ascii(t) * 7 + length(t) AS BIGINT))),
+         (acc, t) -> (acc * 31 + t) % 1000000007) AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+)
+
+_STOP_EN = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+_STOP_ES = "('el', 'la', 'de', 'que', 'y', 'los')"
+_STOP_DE = "('der', 'die', 'das', 'und', 'ist', 'ein')"
+
+_dual(
+    "lang_id",
+    f"""
+SELECT doc_id,
+       CAST(en_hits AS BIGINT) AS en_hits,
+       CAST(es_hits AS BIGINT) AS es_hits,
+       CAST(de_hits AS BIGINT) AS de_hits,
+       CASE WHEN has_hangul THEN 'ko'
+            WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+            WHEN de_hits > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id,
+         size(filter({_TOK_SPARK}, t -> t IN {_STOP_EN})) AS en_hits,
+         size(filter({_TOK_SPARK}, t -> t IN {_STOP_ES})) AS es_hits,
+         size(filter({_TOK_SPARK}, t -> t IN {_STOP_DE})) AS de_hits,
+         text RLIKE '[가-힣]' AS has_hangul
+  FROM documents) t
+ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id,
+       CAST(en_hits AS BIGINT) AS en_hits,
+       CAST(es_hits AS BIGINT) AS es_hits,
+       CAST(de_hits AS BIGINT) AS de_hits,
+       CASE WHEN has_hangul THEN 'ko'
+            WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+            WHEN de_hits > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id,
+         len(list_filter({_TOK_DUCK}, t -> t IN {_STOP_EN})) AS en_hits,
+         len(list_filter({_TOK_DUCK}, t -> t IN {_STOP_ES})) AS es_hits,
+         len(list_filter({_TOK_DUCK}, t -> t IN {_STOP_DE})) AS de_hits,
+         regexp_matches(text, '[가-힣]') AS has_hangul
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+_dual(
+    "quality_score",
+    f"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_tok_len,
+       round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+       (n_tokens >= 10
+        AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 2.0
+        AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 12.0
+        AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5) AS keep
+FROM (
+  SELECT doc_id,
+         size({_TOK_SPARK}) AS n_tokens,
+         length(text) AS n_chars,
+         size(filter({_TOK_SPARK}, t -> t IN {_STOP_EN})) AS stop_hits
+  FROM documents) t
+ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_tok_len,
+       round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+       (n_tokens >= 10
+        AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 2.0
+        AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 12.0
+        AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5) AS keep
+FROM (
+  SELECT doc_id,
+         len({_TOK_DUCK}) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter({_TOK_DUCK}, t -> t IN {_STOP_EN})) AS stop_hits
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- similarity search oracle ------------------------------------------------
+_dual(
+    "ann_bruteforce_topk",
+    """
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(sim, 6) AS cos_sim
+FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         aggregate(zip_with(q.qe, e.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+            * sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) AS sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY aggregate(zip_with(q.qe, e.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                                               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                                     / (sqrt(aggregate(transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                                        * sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings e ON e.vec_id <> q.query_id) s
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    """
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(sim, 6) AS cos_sim
+FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                                     / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+                                        * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings e ON e.vec_id <> q.query_id) s
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+
+# --- relational demonstrations (TPC-H-shaped) ---------------------------------
+_both(
+    "tpch_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+_both(
+    "join_orders_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+""",
+)
+
+_both(
+    "events_hourly",
+    """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR(32)) AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+""",
+)

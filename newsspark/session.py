@@ -28,6 +28,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", os.environ.get("NEWSSPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

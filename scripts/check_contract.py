@@ -1,0 +1,106 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
+row-count + column names + order-insensitive values."""
+import math
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+        if isinstance(v, np.generic):
+            return norm_cell(v.item())
+    except ImportError:
+        pass
+    return repr(v)
+
+
+def frame_key(pdf):
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    return cols, rows
+
+
+def main():
+    only = sys.argv[1:] or None
+    import __spark_entry__ as entrymod
+    from newsspark.session import get_spark
+
+    spark = get_spark(app_name="contract-check", cores=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in queries.items():
+        try:
+            sdf = fn(spark, SF_DIR)
+            spdf = sdf.toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {str(exc)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(spdf)} rows, cols={list(spdf.columns)})")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {str(exc)[:300]}")
+            n_fail += 1
+            continue
+        scols, srows = frame_key(spdf)
+        ocols, orows = frame_key(opdf)
+        if scols != ocols:
+            print(f"FAIL  {name}: columns {scols} != {ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            n_fail += 1
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+        if bad:
+            i = bad[0]
+            print(f"FAIL  {name}: {len(bad)} value mismatches; first at {i}:")
+            print("   spark:", srows[i])
+            print("   duck :", orows[i])
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {len(srows)} rows match")
+        if only and name not in only:
+            continue
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
