@@ -1,0 +1,120 @@
+"""Per-round benchmark harness.
+
+Runs the headline extraction job plus representative operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+The pages corpus (Common-Crawl-style, FIXTURES.md §1) is synthesized
+deterministically from documents.parquet and cached as parquet under
+BENCH/.cache so the bench times the extraction job, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BENCH", ".cache")
+
+# pages per document: sf0.1 has 5k docs -> 200k pages
+REPLICAS = int(os.environ.get("NEWSSPARK_BENCH_REPLICAS", "40"))
+
+
+def _sf_tag() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf"
+
+
+def ensure_pages(spark) -> str:
+    from newsspark.pages import pages_df
+
+    path = os.path.join(CACHE, f"pages_{_sf_tag()}_r{REPLICAS}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        pages_df(spark, SF_DIR, replicas=REPLICAS).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from newsspark import textops
+    from newsspark.contract_sql import SPARK_SQL
+    from newsspark.pipeline import run_extract
+    from newsspark.session import get_spark
+
+    spark = get_spark(app_name="newsspark-bench", cores=CPUS,
+                      shuffle_partitions=CPUS)
+    try:
+        pages_path = ensure_pages(spark)
+        timings: dict = {}
+
+        # headline: full extraction cascade over the cached pages table
+        pages = spark.read.parquet(pages_path)
+        n_pages = pages.count()
+        t0 = time.time()
+        out = run_extract(spark, pages, num_partitions=CPUS * 2)
+        # aggregate over every output field so the UDF cannot be pruned away
+        stats = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(F.size("images")).alias("imgs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("err"),
+        ).collect()[0]
+        timings["extract_cascade"] = round(time.time() - t0, 3)
+        assert stats["n"] == n_pages
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+        def timed(name, df):
+            t = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t, 3)
+
+        timed("dedup_minhash_lsh", textops.dedup_minhash_lsh(docs))
+        timed("simhash64", textops.simhash64(docs))
+        timed("ann_bruteforce_topk", textops.ann_bruteforce_topk(emb))
+        timed("ann_lsh_topk", textops.ann_lsh_topk(emb))
+        timed("quality_score", textops.quality_score(docs))
+        timed("dedup_exact", textops.dedup_exact(docs))
+
+        import __spark_entry__ as entrymod
+
+        entrymod._views(spark, SF_DIR)
+        for name in ("tpch_pricing_summary", "join_orders_by_nation",
+                     "events_hourly"):
+            timed(name, spark.sql(SPARK_SQL[name]))
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "newsspark_bench_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": _sf_tag(),
+                    "pages": n_pages,
+                    "docs_per_sec": round(n_pages / timings["extract_cascade"], 1),
+                    "cores": CPUS,
+                    "extract_failed_rows": int(stats["err"] or 0),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

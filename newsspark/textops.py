@@ -24,6 +24,17 @@ def with_tokens(docs: DataFrame, col: str = "text") -> DataFrame:
     return docs.withColumn("tokens", F.split(F.trim(F.lower(F.col(col))), r"\s+"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism when the input arrives in
+    fewer partitions (small parquet files read as one split).  Higher-order
+    functions are interpreted, not codegen'd — a single-partition input would
+    serialize the whole CPU cost onto one core."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -42,22 +53,40 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signature_col(n_hashes: int = 16, shingle: int = 3):
-    """MinHash signature over word shingles as a pure column expression.
-
-    signature[s] = min over shingles of xxhash64(shingle, s).  At scale the
-    per-seed min is a map-side fold inside codegen — no shuffle until the
-    band join."""
-    shingles = F.when(
+def shingles_col(shingle: int = 3):
+    """Word shingles of the ``tokens`` column (materialize this BEFORE the
+    signature so it is computed once, not once per hash seed)."""
+    return F.when(
         F.size("tokens") >= shingle,
         F.transform(
             F.sequence(F.lit(0), F.size("tokens") - shingle),
             lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, shingle)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", F.col("tokens"))))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, s))),
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures via explode + hash-agg.
+
+    Deliberately NOT a higher-order-function formulation: HOFs are
+    interpreted (CodegenFallback) and CollapseProject re-inlines shared
+    subexpressions into every hash seed, multiplying work 16x.  Exploding
+    shingles to rows keeps xxhash64 + the 16 min() aggregates inside
+    whole-stage codegen, and partial (map-side) aggregation means the shuffle
+    carries only docs x 16 longs regardless of shingle count."""
+    sh = with_tokens(_spread(docs)).select(
+        "doc_id", F.explode(shingles_col(shingle)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(n_hashes)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{s}") for s in range(n_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -71,9 +100,7 @@ def dedup_minhash_lsh(
     come from within-bucket combinations, so cost is O(bucket²) only where
     collisions exist (the LSH guarantee), never O(n²)."""
     rows_per_band = n_hashes // bands
-    sig = with_tokens(docs).select(
-        "doc_id", minhash_signature_col(n_hashes).alias("sig")
-    )
+    sig = minhash_signatures(docs, n_hashes=n_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -126,15 +153,19 @@ def dedup_minhash_lsh(
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token hashes.
     Pure column expressions (xxhash64 + HOFs) — codegen end-to-end."""
-    tokens = with_tokens(docs)
+    # hash every token ONCE, then take per-bit votes over the hash array —
+    # without the materialization xxhash64 re-runs 64x per token
+    hashed = with_tokens(_spread(docs)).select(
+        "doc_id",
+        F.transform(F.col("tokens"), lambda t: F.xxhash64(t)).alias("hashes"),
+    )
     bit_votes = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda b: F.when(
             F.aggregate(
-                F.col("tokens"),
+                F.col("hashes"),
                 F.lit(0).cast("long"),
-                lambda acc, t: acc
-                + F.when(F.getbit(F.xxhash64(t), b) == 1, 1).otherwise(-1),
+                lambda acc, h: acc + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
             )
             >= 0,
             F.lit(1).cast("long"),
@@ -147,7 +178,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
     )
-    return tokens.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+    return hashed.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
 
 
 def jaccard_adjacent(docs: DataFrame) -> DataFrame:
@@ -236,34 +267,30 @@ def ann_lsh_topk(
     product; recall is tunable via n_planes/multi-probe."""
     from pyspark.sql import Window
 
+    import hashlib
+
     dim = 64  # embeddings table dimension (TESTDATA)
 
-    def plane_component(p, j):
-        # deterministic pseudo-random in [-1, 1)
-        return (
-            F.pmod(F.xxhash64(F.concat(F.lit("plane"), p.cast("string"), F.lit("_"), j.cast("string"))), F.lit(2000)
-            ).cast("double") / 1000.0 - 1.0
-        )
+    def plane_component(p: int, j: int) -> float:
+        # deterministic pseudo-random in [-1, 1): no RNG state, no
+        # per-row hashing at execution time (planes are literal constants)
+        digest = hashlib.md5(f"plane{p}_{j}".encode()).digest()
+        return int.from_bytes(digest[:4], "big") / 2**31 - 1.0
+
+    planes = [
+        F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
+        for p in range(n_planes)
+    ]
 
     def bucket_of(vec_col):
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                lambda p: F.when(
-                    F.aggregate(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        F.lit(0.0),
-                        lambda acc, j: acc
-                        + F.element_at(vec_col, j + 1).cast("double")
-                        * plane_component(p, j),
-                    )
-                    >= 0,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, bit: acc * 2 + bit,
-        )
+        bucket = F.lit(0).cast("long")
+        for plane in planes:
+            dot = _dot(vec_col, plane)
+            bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = F.shiftleft(bucket, 1).bitwiseOR(bit)
+        return bucket
 
     tagged = emb.select(
         "vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket")
