@@ -70,6 +70,45 @@ def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return method_metrics(run_extract(spark, pages))
 
 
+def _extract_with_rules_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 generalization: site rules as a broadcast-joined dimension table."""
+    from newsspark.pipeline import default_site_rules_df
+
+    pages = pages_df(spark, sf_dir)
+    articles = run_extract(
+        spark, pages, site_rules=default_site_rules_df(spark)
+    )
+    return articles.select(
+        "url", "title", "date", "method", "error",
+        F.size("images").alias("n_images"), F.length("text").alias("text_len"),
+    )
+
+
+def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsspark.multimodal import decode_media, media_df
+
+    return decode_media(media_df(spark, sf_dir))
+
+
+def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsspark.multimodal import frame_sample, media_df
+
+    return frame_sample(media_df(spark, sf_dir))
+
+
+def _media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> similarity-search integration: embed payloads, then
+    brute-force cosine top-k over the resulting vectors."""
+    from newsspark.multimodal import embed_media, media_df
+
+    emb = (
+        embed_media(media_df(spark, sf_dir))
+        .where("error is null")
+        .selectExpr("media_id as vec_id", "embedding")
+    )
+    return textops.ann_bruteforce_topk(emb, n_queries=5, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction cascade over pages synthesized from
     sf0.001 documents (url-hash repartition, size lane, error column)."""
@@ -82,6 +121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction engines end-to-end (rows-only checks)
         "extract_cascade": _extract_cascade,
         "extract_metrics": _extract_metrics,
+        "extract_with_rules_join": _extract_with_rules_join,
+        # multimodal plumbing (rows-only; codec layer stubbed per README)
+        "media_decode": _media_decode,
+        "media_frame_sample": _media_frame_sample,
+        "media_embed_ann": _media_embed_ann,
         # SQL-expressible extraction semantics (oracle-checked)
         "length_gate": _sql("length_gate"),
         "method_join": _sql("method_join"),

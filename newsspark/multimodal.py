@@ -1,0 +1,300 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs (no pillow/ffmpeg), so the *codec*
+layer is stubbed two ways, clearly marked:
+- payloads in the deterministic FAKE container formats below are "decoded"
+  for real (header parse + byte statistics) — exercising the actual Spark
+  plumbing: schema, binary Arrow transfer, batch shapes, partitioning;
+- any real format (JPEG/PNG/WAV magic) raises ``NotImplementedError`` into
+  the per-row ``error`` column, never failing the job.
+
+Fake container formats (all big-endian):
+  image: b"FIMG" | u32 width | u32 height | pixel bytes (luma, row-major,
+         possibly truncated — generator bounds payload size)
+  audio: b"FAUD" | u32 sample_rate | u32 n_samples | i8 samples
+  video: b"FVID" | u32 width | u32 height | u32 n_frames | u16 fps |
+         frame luma bytes
+
+At 100 TB the payloads dominate row size: the media table is url/doc-keyed
+and processed with ``mapInPandas`` so one output row per input row is not
+required (frame sampling explodes), and Arrow batch size bounds worker
+memory the same way the extraction size lane does.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, doc_id long, kind string, payload binary, "
+    "declared_width int, declared_height int, declared_ms int"
+)
+
+_REAL_MAGICS = {
+    b"\xff\xd8\xff": "jpeg",
+    b"\x89PNG": "png",
+    b"RIFF": "wav/riff",
+    b"GIF8": "gif",
+    b"\x00\x00\x00\x18ftyp": "mp4",
+    b"\x00\x00\x00\x20ftyp": "mp4",
+}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake payload generation (no RNG state)
+# ---------------------------------------------------------------------------
+
+
+def _lcg_bytes(seed: int, n: int) -> bytes:
+    """Deterministic byte stream (numpy-vectorized LCG)."""
+    out = np.empty(n, dtype=np.uint64)
+    x = np.uint64(seed * 6364136223846793005 + 1442695040888963407 & (2**64 - 1))
+    # vectorized: x_i = seed advanced i steps — use counter-based mixing instead
+    idx = np.arange(n, dtype=np.uint64)
+    mixed = (idx + np.uint64(seed)) * np.uint64(6364136223846793005)
+    mixed ^= mixed >> np.uint64(33)
+    mixed *= np.uint64(0xFF51AFD7ED558CCD)
+    mixed ^= mixed >> np.uint64(33)
+    out = (mixed & np.uint64(0xFF)).astype(np.uint8)
+    return out.tobytes()
+
+
+def make_image(seed: int, width: int, height: int) -> bytes:
+    return b"FIMG" + struct.pack(">II", width, height) + _lcg_bytes(
+        seed, min(width * height, 16384)
+    )
+
+
+def make_audio(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    return b"FAUD" + struct.pack(">II", sample_rate, n_samples) + _lcg_bytes(
+        seed, min(n_samples, 16384)
+    )
+
+
+def make_video(seed: int, width: int, height: int, n_frames: int, fps: int) -> bytes:
+    return (
+        b"FVID"
+        + struct.pack(">IIIH", width, height, n_frames, fps)
+        + _lcg_bytes(seed, min(width * height * min(n_frames, 4), 16384))
+    )
+
+
+def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
+    """Deterministic media table derived from documents.parquet doc_ids."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                for r in range(per_doc):
+                    i = int(doc_id) * per_doc + r
+                    kind = ("image", "audio", "video", "image")[i % 4]
+                    if kind == "image":
+                        w, h = 320 + (i % 17) * 16, 240 + (i % 11) * 16
+                        payload = make_image(i, w, h)
+                        meta = (w, h, 0)
+                    elif kind == "audio":
+                        sr, ns = 16000, 16000 * (1 + i % 5)
+                        payload = make_audio(i, sr, ns)
+                        meta = (0, 0, ns // (sr // 1000))
+                    else:
+                        w, h, nf, fps = 160, 120, 24 * (1 + i % 8), 24
+                        payload = make_video(i, w, h, nf, fps)
+                        meta = (w, h, nf * 1000 // fps)
+                    # ~2% corrupt rows exercise the error column
+                    if i % 50 == 7:
+                        payload = payload[:6]
+                    rows.append((i, int(doc_id), kind, payload, *meta))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "doc_id", "kind", "payload",
+                    "declared_width", "declared_height", "declared_ms",
+                ],
+            )
+
+    return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature extraction (mapInPandas — Arrow batches of binary)
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = (
+    "media_id long, kind string, width int, height int, sample_rate int, "
+    "n_frames int, n_payload_bytes long, mean_byte double, byte_entropy double, "
+    "error string"
+)
+
+
+def _detect_real_format(payload: bytes):
+    for magic, name in _REAL_MAGICS.items():
+        if payload[: len(magic)] == magic:
+            return name
+    return None
+
+
+def _decode_one(payload) -> dict:
+    """Parse the fake container header + byte statistics. Total per row."""
+    out = dict(width=None, height=None, sample_rate=None, n_frames=None,
+               n_payload_bytes=0, mean_byte=None, byte_entropy=None, error=None)
+    if payload is None:
+        out["error"] = "null payload"
+        return out
+    payload = bytes(payload)
+    out["n_payload_bytes"] = len(payload)
+    real = _detect_real_format(payload)
+    try:
+        if real is not None:
+            # STUB: real codecs are not available in this container.
+            raise NotImplementedError(
+                f"real {real} decode requires an image/audio codec library"
+            )
+        magic, body = payload[:4], payload[4:]
+        if magic == b"FIMG":
+            w, h = struct.unpack(">II", body[:8])
+            out["width"], out["height"] = w, h
+            data = body[8:]
+        elif magic == b"FAUD":
+            sr, ns = struct.unpack(">II", body[:8])
+            out["sample_rate"] = sr
+            data = body[8:]
+        elif magic == b"FVID":
+            w, h, nf, fps = struct.unpack(">IIIH", body[:14])
+            out["width"], out["height"], out["n_frames"] = w, h, nf
+            data = body[14:]
+        else:
+            raise ValueError(f"unknown container magic {magic!r}")
+        if data:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            out["mean_byte"] = float(arr.mean())
+            counts = np.bincount(arr, minlength=256).astype(np.float64)
+            p = counts[counts > 0] / len(arr)
+            out["byte_entropy"] = float(-(p * np.log2(p)).sum())
+    except NotImplementedError as exc:
+        out["error"] = f"not_implemented: {exc}"
+    except Exception as exc:
+        out["error"] = f"{type(exc).__name__}: {exc}"
+    return out
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract every payload. Vectorized batch loop inside
+    mapInPandas; per-row failures land in ``error``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_one(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[[
+                "media_id", "kind", "width", "height", "sample_rate",
+                "n_frames", "n_payload_bytes", "mean_byte", "byte_entropy",
+                "error",
+            ]]
+
+    return media.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "fit_w int, fit_h int, pad_x int, pad_y int, error string"
+)
+
+
+def resize_plan(media: DataFrame, dst_w: int = 224, dst_h: int = 224) -> DataFrame:
+    """Letterbox resize geometry for image/video payloads. The arithmetic is
+    real; the pixel resample itself would live in the (stubbed) codec layer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = _decode_one(payload)
+                if d["error"] or not d["width"]:
+                    rows.append((media_id, None, None, dst_w, dst_h,
+                                 None, None, None, None,
+                                 d["error"] or "no spatial dims"))
+                    continue
+                sw, sh = d["width"], d["height"]
+                scale = min(dst_w / sw, dst_h / sh)
+                fw, fh = int(sw * scale), int(sh * scale)
+                rows.append((media_id, sw, sh, dst_w, dst_h, fw, fh,
+                             (dst_w - fw) // 2, (dst_h - fh) // 2, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "src_w", "src_h", "dst_w", "dst_h",
+                "fit_w", "fit_h", "pad_x", "pad_y", "error",
+            ])
+
+    return media.where(F.col("kind").isin("image", "video")).mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, ts_ms int, error string"
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Sample frame indices every ``every_ms`` — a one-to-many mapInPandas
+    (row explosion), the shape a real frame extractor would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or bytes(payload[:4]) != b"FVID":
+                    rows.append((media_id, None, None, "not a video payload"))
+                    continue
+                try:
+                    w, h, nf, fps = struct.unpack(">IIIH", bytes(payload[4:18]))
+                except Exception as exc:
+                    rows.append((media_id, None, None, f"header: {exc}"))
+                    continue
+                step = max(1, round(fps * every_ms / 1000))
+                for idx in range(0, nf, step):
+                    rows.append((media_id, idx, idx * 1000 // fps, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "error"]
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+EMBED_SCHEMA = "media_id long, embedding array<float>, error string"
+
+
+def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic pseudo-embedding over payload bytes (stands in for a
+    model forward pass; feeds the ANN operators in newsspark.textops)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs, errs = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(media_id)
+                if payload is None or len(payload) < 8:
+                    vecs.append(None)
+                    errs.append("payload too short to embed")
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                chunks = np.array_split(arr.astype(np.float32), dim)
+                vec = np.array([c.mean() if len(c) else 0.0 for c in chunks],
+                               dtype=np.float32)
+                norm = float(np.linalg.norm(vec)) or 1.0
+                vecs.append((vec / norm).tolist())
+                errs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "embedding": vecs, "error": errs}
+            )
+
+    return media.mapInPandas(run, schema=EMBED_SCHEMA)

@@ -58,24 +58,84 @@ def _extract_batch(url: pd.Series, html: pd.Series) -> pd.DataFrame:
 extract_articles = F.pandas_udf(_extract_batch, returnType=ARTICLE_STRUCT)
 
 
+def _extract_batch_with_rules(
+    url: pd.Series, html: pd.Series, body_sel: pd.Series, title_sel: pd.Series
+) -> pd.DataFrame:
+    """Variant fed by the site-rules broadcast join: per-row rule columns
+    (null when no rule matched) instead of the static default table."""
+    records = []
+    for u, h, bs, ts in zip(url, html, body_sel, title_sel):
+        rules = (("", bs, ts or "h1"),) if isinstance(bs, str) and bs else ()
+        records.append(extract_article(u, h, site_rules=rules))
+    return pd.DataFrame({f: [r[f] for r in records] for f in ARTICLE_FIELDS})
+
+
+extract_articles_with_rules = F.pandas_udf(
+    _extract_batch_with_rules, returnType=ARTICLE_STRUCT
+)
+
+
+def default_site_rules_df(spark: SparkSession) -> DataFrame:
+    """The site-rules dimension table (FIXTURES.md §4), seeded with the naver
+    row the reference hard-codes (extractor.py:472-474)."""
+    from .engines import DEFAULT_SITE_RULES
+
+    return spark.createDataFrame(
+        [(h, b, t) for h, b, t in DEFAULT_SITE_RULES],
+        "host_pattern string, body_selector string, title_selector string",
+    )
+
+
 def run_extract(
     spark: SparkSession,
     pages: DataFrame,
     num_partitions: Optional[int] = None,
     size_lane_bytes: Optional[int] = 4 * 1024 * 1024,
+    site_rules: Optional[DataFrame] = None,
 ) -> DataFrame:
     """pages(url, html, ...) -> articles(url, title, text, date, images,
     method, error).  Only (url, html) are referenced so Catalyst prunes every
-    other column at the scan (SURVEY.md §4.2 column pruning)."""
-    n = num_partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
-    df = pages.select("url", "html")
+    other column at the scan (SURVEY.md §4.2 column pruning).
 
-    def lane(part: DataFrame, parts: int) -> DataFrame:
-        return (
-            part.repartition(parts, F.xxhash64("url"))
-            .withColumn("a", extract_articles(F.col("url"), F.col("html")))
-            .select("url", "a.*")
+    ``site_rules``: optional dimension table (host_pattern, body_selector,
+    title_selector) — the F2 generalization.  Joined with a **broadcast**
+    join on host-substring containment (tiny dim table, the only join in the
+    system, SURVEY.md §2 I); matched rows carry their rule into the UDF."""
+    n = num_partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    if site_rules is not None:
+        df = (
+            pages.select("url", "html")
+            .join(
+                F.broadcast(site_rules),
+                F.col("url").contains(F.col("host_pattern")),
+                "left",
+            )
+            .select("url", "html", "body_selector", "title_selector")
         )
+
+        def lane(part: DataFrame, parts: int) -> DataFrame:
+            return (
+                part.repartition(parts, F.xxhash64("url"))
+                .withColumn(
+                    "a",
+                    extract_articles_with_rules(
+                        F.col("url"), F.col("html"),
+                        F.col("body_selector"), F.col("title_selector"),
+                    ),
+                )
+                .select("url", "a.*")
+            )
+
+    else:
+        df = pages.select("url", "html")
+
+        def lane(part: DataFrame, parts: int) -> DataFrame:
+            return (
+                part.repartition(parts, F.xxhash64("url"))
+                .withColumn("a", extract_articles(F.col("url"), F.col("html")))
+                .select("url", "a.*")
+            )
 
     if size_lane_bytes:
         # Size-lane split: oversized documents get their own, finer-grained

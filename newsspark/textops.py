@@ -260,11 +260,13 @@ def ann_bruteforce_topk(
 def ann_lsh_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH — vectors bucketed by the sign
-    pattern of ``n_planes`` deterministic pseudo-random hyperplanes (plane
-    components derived from xxhash64, no RNG state), search only within the
-    query's bucket.  At 10^9 vectors the bucket join replaces the full cross
-    product; recall is tunable via n_planes/multi-probe."""
+    """Scale path: random-hyperplane LSH with multi-probe — vectors bucketed
+    by the sign pattern of ``n_planes`` deterministic hyperplanes (literal
+    constants, no RNG state); each query probes its own bucket plus every
+    bucket at Hamming distance 1 (standard multi-probe, recovers the recall
+    single-probe loses on near-orthogonal data).  At 10^9 vectors the
+    broadcast bucket join replaces the full cross product: cost is
+    O(n x (n_planes+1) / 2^n_planes) candidate pairs."""
     from pyspark.sql import Window
 
     import hashlib
@@ -295,10 +297,20 @@ def ann_lsh_topk(
     tagged = emb.select(
         "vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket")
     )
-    queries = tagged.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        F.col("bucket").alias("qbucket"),
+    probe_offsets = F.array(
+        F.lit(0), *[F.lit(1 << i) for i in range(n_planes)]
+    )
+    queries = (
+        tagged.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.explode(
+                F.transform(
+                    probe_offsets, lambda off: F.col("bucket").bitwiseXOR(off)
+                )
+            ).alias("qbucket"),
+        )
     )
     scored = tagged.join(
         F.broadcast(queries),

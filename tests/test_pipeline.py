@@ -52,3 +52,37 @@ def test_method_metrics_schema(spark):
     m = method_metrics(run_extract(spark, df, num_partitions=1))
     assert set(m.columns) == {"method", "n_rows", "n_failed", "text_chars"}
     assert m.count() >= 1
+
+
+def test_site_rules_broadcast_join_equals_default_path(spark, tiny_docs=None):
+    from newsspark.pages import pages_pdf
+    from newsspark.pipeline import default_site_rules_df
+    import duckdb
+
+    docs = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' "
+        "where doc_id < 120 order by doc_id"
+    ).fetchall()
+    pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs])
+    pages = spark.createDataFrame(pdf[["url", "html"]], "url string, html binary")
+    rules = default_site_rules_df(spark)
+
+    base = {r["url"]: r for r in run_extract(spark, pages, num_partitions=4).collect()}
+    joined = {
+        r["url"]: r
+        for r in run_extract(
+            spark, pages, num_partitions=4, site_rules=rules
+        ).collect()
+    }
+    assert set(base) == set(joined)
+    for url in base:
+        for f in ("title", "text", "date", "method", "error"):
+            assert base[url][f] == joined[url][f], (url, f)
+        assert list(base[url]["images"] or []) == list(joined[url]["images"] or [])
+
+    # and the join really is a broadcast, not a shuffle join
+    plan = (
+        run_extract(spark, pages, num_partitions=4, site_rules=rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan, plan

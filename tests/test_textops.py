@@ -1,0 +1,129 @@
+"""Training-data ops: DataFrame builders vs their SQL twins + structural
+invariants for the hash-based ops (which have no DuckDB oracle)."""
+import pyspark.sql.functions as F
+import pytest
+
+from newsspark import textops
+from newsspark.contract_sql import SPARK_SQL
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _views(spark):
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{SF}/{t}.parquet").createOrReplaceTempView(t)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+
+
+def _pdf_sorted(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "builder,sql_name",
+    [
+        (lambda s, docs, emb: textops.dedup_exact(docs), "dedup_exact"),
+        (lambda s, docs, emb: textops.token_count(docs), "token_count"),
+        (lambda s, docs, emb: textops.jaccard_adjacent(docs), "jaccard_adjacent"),
+        (lambda s, docs, emb: textops.doc_fingerprint(docs), "doc_fingerprint"),
+        (lambda s, docs, emb: textops.ann_bruteforce_topk(emb), "ann_bruteforce_topk"),
+    ],
+)
+def test_builder_equals_sql_twin(spark, docs, emb, builder, sql_name):
+    _views(spark)
+    a = _pdf_sorted(builder(spark, docs, emb))
+    b = _pdf_sorted(spark.sql(SPARK_SQL[sql_name]))
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    rows = []
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango ") * 3
+    for i in range(20):
+        rows.append((i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(40))))
+    rows.append((100, base))
+    rows.append((101, base))                              # exact dup
+    rows.append((102, base.replace("kilo", "variant", 1)))  # near dup (1 token)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in textops.dedup_minhash_lsh(df).collect()}
+    assert (100, 101) in pairs
+    assert (100, 102) in pairs or (101, 102) in pairs
+    # unrelated docs never collide on all-band keys
+    assert all(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_simhash_near_duplicates_have_small_hamming(spark):
+    base = " ".join(f"word{j}" for j in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("word7", "changed")),
+         (3, " ".join(f"other{j}" for j in range(60)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in textops.simhash64(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(got[1], got[2]) <= 12
+    assert hamming(got[1], got[3]) > 12
+
+
+def test_ann_bruteforce_self_consistency(spark, emb):
+    out = textops.ann_bruteforce_topk(emb, n_queries=5, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_ann_lsh_neighbors_subset_of_bucket_and_ranked(spark, emb):
+    out = textops.ann_lsh_topk(emb, n_queries=10, k=5).collect()
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 5
+        assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_ann_lsh_recall_against_bruteforce(spark, emb):
+    brute = textops.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
+    lsh = textops.ann_lsh_topk(emb, n_queries=10, k=5, n_planes=4).collect()
+    brute_top1 = {r["query_id"]: r["neighbor_id"] for r in brute if r["rank"] == 1}
+    lsh_by_q = {}
+    for r in lsh:
+        lsh_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for q, n in brute_top1.items() if n in lsh_by_q.get(q, set())
+    )
+    # 4 hyperplanes -> 16 buckets over 500 vectors: top-1 recall is imperfect
+    # by design but must be well above chance
+    assert hits >= 3, (hits, brute_top1, {k: sorted(v) for k, v in lsh_by_q.items()})
+
+
+def test_ann_uses_broadcast_join(spark, emb):
+    plan = textops.ann_bruteforce_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+
+
+def test_lang_id_and_quality_shapes(spark, docs):
+    li = textops.lang_id(docs).limit(20).collect()
+    assert all(r["lang_pred"] in ("ko", "en", "es", "de", "und") for r in li)
+    qs = textops.quality_score(docs).limit(20).collect()
+    assert all(r["n_tokens"] > 0 for r in qs)
