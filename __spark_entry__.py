@@ -145,10 +145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _sql("lang_id"),
         "quality_score": _sql("quality_score"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
+        "dedup_embedding_cosine": _sql("dedup_embedding_cosine"),
         # xxhash-based ops (no DuckDB equivalent -> rows-only checks)
         "dedup_minhash_lsh": lambda s, d: textops.dedup_minhash_lsh(_docs(s, d)),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d)),
         "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)),
+        "dedup_embedding_cosine_lsh": lambda s, d: textops.dedup_embedding_cosine(
+            _emb(s, d), threshold=0.45, use_lsh=True
+        ),
         # relational demonstrations
         "tpch_pricing_summary": _sql("tpch_pricing_summary"),
         "join_orders_by_nation": _sql("join_orders_by_nation"),
@@ -176,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id",
         "quality_score",
         "ann_bruteforce_topk",
+        "dedup_embedding_cosine",
         "tpch_pricing_summary",
         "join_orders_by_nation",
         "events_hourly",

@@ -468,3 +468,33 @@ GROUP BY date_trunc('hour', ts), event_type
 ORDER BY hour, event_type
 """,
 )
+
+# --- embedding-cosine near-dup (exact baseline; LSH variant is rows-only) ----
+_dual(
+    "dedup_embedding_cosine",
+    """
+SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+            * sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) s
+WHERE round(sim, 6) >= 0.45
+ORDER BY vec_a, vec_b
+""",
+    """
+SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) s
+WHERE round(sim, 6) >= 0.45
+ORDER BY vec_a, vec_b
+""",
+)

@@ -165,6 +165,58 @@ def method_metrics(articles: DataFrame) -> DataFrame:
     )
 
 
+def extract_run(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+    site_rules: Optional[DataFrame] = None,
+    snapshot_id: str = "",
+) -> dict:
+    """The one-call replacement for the reference's HTTP endpoints
+    (SURVEY.md §3.2): pages in -> four tables out under ``out_dir``:
+
+      articles/    successful rows (error IS NULL)
+      quarantine/  failed rows with the error message (the HTTP-500 analog)
+      metrics/     per-method row counts / failure counts / text mass
+      lineage/     one row for this run (run_id, snapshot, counts, wall_ms)
+
+    Returns a summary dict."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    result = run_extract(
+        spark, pages, num_partitions=num_partitions, site_rules=site_rules
+    )
+    result.write.mode("overwrite").parquet(f"{out_dir}/_all")
+    all_rows = spark.read.parquet(f"{out_dir}/_all")
+    all_rows.where(F.col("error").isNull()).write.mode("overwrite").parquet(
+        f"{out_dir}/articles"
+    )
+    all_rows.where(F.col("error").isNotNull()).write.mode("overwrite").parquet(
+        f"{out_dir}/quarantine"
+    )
+    method_metrics(all_rows).write.mode("overwrite").parquet(f"{out_dir}/metrics")
+    stats = all_rows.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
+    ).collect()[0]
+    wall_ms = int((time.time() - t0) * 1000)
+    lineage_row = [
+        (run_id, -1, snapshot_id, int(stats["n"]), int(stats["f"] or 0),
+         wall_ms, "ok")
+    ]
+    spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).write.mode(
+        "append"
+    ).parquet(f"{out_dir}/lineage")
+    return {
+        "run_id": run_id,
+        "n_rows": int(stats["n"]),
+        "n_failed": int(stats["f"] or 0),
+        "wall_ms": wall_ms,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint / lineage / resume (SURVEY.md §4.2)
 # ---------------------------------------------------------------------------

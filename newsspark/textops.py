@@ -409,3 +409,66 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         ),
     )
     return t.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+def dedup_embedding_cosine(
+    emb: DataFrame, threshold: float = 0.9, use_lsh: bool = False,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim >= τ).
+
+    ``use_lsh=False``: exact O(n²/2) self-join — the correctness baseline
+    with a DuckDB oracle twin. ``use_lsh=True``: candidate pairs restricted
+    to same-hyperplane-bucket (plus Hamming-1 probes), the plan that
+    survives 10^9 vectors."""
+    base = emb.select("vec_id", "embedding")
+    if use_lsh:
+        planes = _lsh_planes(n_planes)
+        tagged = base.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
+        probes = tagged.select(
+            F.col("vec_id").alias("vb"),
+            F.col("embedding").alias("eb"),
+            F.explode(
+                F.array(F.col("bucket"),
+                        *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                          for i in range(n_planes)])
+            ).alias("pbucket"),
+        )
+        pairs = tagged.join(
+            probes,
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") < F.col("vb")),
+        ).select(
+            F.col("vec_id").alias("vec_a"), F.col("vb").alias("vec_b"),
+            F.col("embedding").alias("ea"), F.col("eb"),
+        ).dropDuplicates(["vec_a", "vec_b"])
+    else:
+        a = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _lsh_planes(n_planes: int, dim: int = 64):
+    import hashlib
+
+    def comp(p, j):
+        digest = hashlib.md5(f"plane{p}_{j}".encode()).digest()
+        return int.from_bytes(digest[:4], "big") / 2**31 - 1.0
+
+    return [F.array(*[F.lit(comp(p, j)) for j in range(dim)])
+            for p in range(n_planes)]
+
+
+def _bucket_expr(vec_col, planes):
+    bucket = F.lit(0).cast("long")
+    for plane in planes:
+        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(bit)
+    return bucket

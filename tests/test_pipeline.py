@@ -86,3 +86,48 @@ def test_site_rules_broadcast_join_equals_default_path(spark, tiny_docs=None):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Broadcast" in plan, plan
+
+
+def test_extract_run_four_tables(spark, tmp_path):
+    import duckdb
+    from newsspark.pages import pages_pdf
+    from newsspark.pipeline import extract_run
+
+    docs = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' "
+        "where doc_id < 80"
+    ).fetchall()
+    pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs])
+    pages = spark.createDataFrame(pdf[["url", "html"]], "url string, html binary")
+    out = str(tmp_path / "run")
+    summary = extract_run(spark, pages, out, num_partitions=4)
+    assert summary["n_rows"] == 80
+    articles = spark.read.parquet(f"{out}/articles")
+    quarantine = spark.read.parquet(f"{out}/quarantine")
+    assert articles.where("error is not null").count() == 0
+    assert quarantine.where("error is null").count() == 0
+    assert articles.count() + quarantine.count() == 80
+    assert quarantine.count() == summary["n_failed"]
+    lineage = spark.read.parquet(f"{out}/lineage").collect()
+    assert len(lineage) == 1 and lineage[0]["status"] == "ok"
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.count() >= 2
+
+
+def test_warc_ts_partition_pruning(spark, tmp_path):
+    # pages partitioned by warc date -> a date predicate must prune at the
+    # scan (SURVEY.md §4.2 partition pruning)
+    p = str(tmp_path / "pages_part")
+    rows = [(f"u{i}", f"2026-01-{1 + i % 3:02d}", b"<p>x</p>") for i in range(30)]
+    spark.createDataFrame(rows, "url string, dt string, html binary").write.partitionBy(
+        "dt"
+    ).parquet(p)
+    df = spark.read.parquet(p).where("dt = '2026-01-02'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() == 10
+    # only one of three partition dirs is read
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "2026-01-02" in m.group(1), plan

@@ -127,3 +127,40 @@ def test_lang_id_and_quality_shapes(spark, docs):
     assert all(r["lang_pred"] in ("ko", "en", "es", "de", "und") for r in li)
     qs = textops.quality_score(docs).limit(20).collect()
     assert all(r["n_tokens"] > 0 for r in qs)
+
+
+def test_embedding_cosine_dedup_exact_and_lsh_subset(spark, emb):
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in textops.dedup_embedding_cosine(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in textops.dedup_embedding_cosine(
+            emb, threshold=0.4, use_lsh=True
+        ).collect()
+    }
+    assert exact, "threshold 0.4 should yield some pairs on sf0.001"
+    assert lsh <= exact  # LSH candidates never invent pairs
+    # cos≈0.4 pairs sit at ~66 degrees — hyperplane collision probability is
+    # intentionally low there; only sanity-check it's non-zero
+    assert len(lsh) >= len(exact) // 10
+
+
+def test_embedding_cosine_lsh_finds_true_near_duplicates(spark, emb):
+    # plant a near-identical pair (cos ~0.9997) — the actual near-dup regime
+    # LSH is built for; it MUST surface it
+    base = [r for r in emb.where("vec_id = 0").collect()][0]["embedding"]
+    near = [v + (0.01 if i % 7 == 0 else 0.0) for i, v in enumerate(base)]
+    planted = spark.createDataFrame(
+        [(9000, base), (9001, near)], "vec_id long, embedding array<float>"
+    )
+    all_vecs = emb.select("vec_id", "embedding").unionByName(planted)
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in textops.dedup_embedding_cosine(
+            all_vecs, threshold=0.99, use_lsh=True
+        ).collect()
+    }
+    assert (9000, 9001) in lsh
+    assert (0, 9000) in lsh and (0, 9001) in lsh
