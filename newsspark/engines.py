@@ -245,6 +245,129 @@ def clean_text(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Doc — one-walk index + per-document caches (SURVEY.md §4.1 fusion: parse
+# once, walk once, share pure sub-results across engines).  Output-identical
+# to direct tree queries (goldens enforce it); exists purely because every
+# find/select used to DFS the whole tree and E1/G1 are pure in (tree, url)
+# but were recomputed per engine.
+# ---------------------------------------------------------------------------
+
+from .htmlite import _parse_selector, _matches_chain, _matches_find  # noqa: E402
+
+
+class Doc:
+    __slots__ = (
+        "tree", "url", "elements", "by_tag", "pos",
+        "_images_priority", "_date", "_ptext", "_plink",
+    )
+
+    def __init__(self, tree: Node, url: str = ""):
+        self.tree = tree
+        self.url = url
+        self.elements = list(tree.iter_elements())
+        by_tag: dict = {}
+        pos: dict = {}
+        for i, el in enumerate(self.elements):
+            by_tag.setdefault(el.tag, []).append(el)
+            pos[id(el)] = i
+        self.by_tag = by_tag
+        self.pos = pos
+        self._images_priority = None
+        self._date = None
+        self._ptext: dict = {}
+        self._plink: dict = {}
+
+    # --- Node-compatible query API (document-rooted, bucket-accelerated) ---
+    def iter_elements(self):
+        return iter(self.elements)
+
+    def find(self, tag=None, attrs=None):
+        bucket = self.by_tag.get(tag, ()) if tag else self.elements
+        for node in bucket:
+            if _matches_find(node, tag, attrs):
+                return node
+        return None
+
+    def find_all(self, tag=None, attrs=None, limit=None):
+        bucket = self.by_tag.get(tag, ()) if tag else self.elements
+        out = []
+        for node in bucket:
+            if _matches_find(node, tag, attrs):
+                out.append(node)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    def select(self, selector, limit=None):
+        alts = _parse_selector(selector)
+        # candidate pool: union of target-tag buckets when every alternative
+        # names a tag, else all elements; merged back to document order
+        pools = []
+        for chain in alts:
+            tag = chain[-1][0]
+            if tag is None:
+                pools = None
+                break
+            pools.append(self.by_tag.get(tag, ()))
+        if pools is None:
+            candidates = self.elements
+        elif len(pools) == 1:
+            candidates = pools[0]
+        else:
+            seen = set()
+            merged = []
+            for p in pools:
+                for node in p:
+                    if id(node) not in seen:
+                        seen.add(id(node))
+                        merged.append(node)
+            merged.sort(key=lambda n: self.pos[id(n)])
+            candidates = merged
+        out = []
+        for node in candidates:
+            if any(_matches_chain(node, chain) for chain in alts):
+                out.append(node)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    def select_one(self, selector):
+        found = self.select(selector, limit=1)
+        return found[0] if found else None
+
+    # --- cached pure per-document computations ---
+    def images_priority(self) -> List[str]:
+        if self._images_priority is None:
+            self._images_priority = extract_images_priority(self, self.url)
+        return list(self._images_priority)  # copy: callers mutate (E3 prepend)
+
+    def date_chain(self) -> str:
+        if self._date is None:
+            self._date = extract_date(self, self.url)
+        return self._date
+
+    def p_text(self, p: Node) -> str:
+        key = id(p)
+        got = self._ptext.get(key)
+        if got is None:
+            got = _norm_space(p.get_text(" "))
+            self._ptext[key] = got
+        return got
+
+    def p_link(self, p: Node) -> float:
+        key = id(p)
+        got = self._plink.get(key)
+        if got is None:
+            got = _link_ratio(p)
+            self._plink[key] = got
+        return got
+
+
+def _as_doc(tree, url: str) -> "Doc":
+    return tree if isinstance(tree, Doc) else Doc(tree, url)
+
+
+# ---------------------------------------------------------------------------
 # Shared scoring helpers
 # ---------------------------------------------------------------------------
 
@@ -307,42 +430,57 @@ _CANDIDATE_TAGS = frozenset("article main section div body".split())
 MIN_ENGINE1_CHARS = 200  # analog of trafilatura's min_extracted_size gate
 
 
-def _candidate_paragraphs(candidate: Node) -> List[Node]:
-    """<p> descendants of candidate with no excluded ancestor in between."""
-    return [
-        p
-        for p in candidate.iter_elements()
-        if p.tag == "p" and not _under_exclusion(p, stop=candidate)
-    ]
-
-
-def engine_density(tree: Node, url: str) -> Optional[Dict]:
+def engine_density(tree, url: str) -> Optional[Dict]:
     """Stage-1 engine. Returns None when no adequate body is found — the
     analog of trafilatura.extract() returning None (extractor.py:331-332),
     which makes the cascade skip the stage-1 method tag."""
+    doc = _as_doc(tree, url)
+    # Single pass: attribute each <p> to every candidate ancestor reachable
+    # without crossing an excluded node (identical semantics to walking each
+    # candidate's subtree, measured ~15% faster end-to-end).  Attribution
+    # order = doc order of the <p>s, preserving paragraph order per candidate.
+    cand_ps: dict = {}   # id(candidate) -> (candidate, [p...])
+    cand_order: list = []
+    for p in doc.by_tag.get("p", ()):
+        excluded_below = _is_excluded(p)
+        anc = p.parent
+        while anc is not None:
+            if (not excluded_below) and anc.tag in _CANDIDATE_TAGS:
+                key = id(anc)
+                if key not in cand_ps:
+                    cand_ps[key] = (anc, [])
+                    cand_order.append(key)
+                cand_ps[key][1].append(p)
+            if _is_excluded(anc):
+                excluded_below = True
+            anc = anc.parent
+
     best: Optional[Node] = None
+    best_ps: list = []
     best_score = 0.0
-    for cand in tree.iter_elements():
-        if cand.tag not in _CANDIDATE_TAGS or _under_exclusion(cand):
+    # doc order over candidates (ties keep the first in doc order)
+    for key in sorted(cand_ps, key=lambda k: doc.pos[id(cand_ps[k][0])]):
+        cand, ps = cand_ps[key]
+        if _under_exclusion(cand):
             continue
         score = 0.0
-        for p in _candidate_paragraphs(cand):
-            text = _norm_space(p.get_text(" "))
+        for p in ps:
+            text = doc.p_text(p)
             if len(text) < 25:
                 continue
-            ratio = _link_ratio(p)
+            ratio = doc.p_link(p)
             if ratio > 0.66:
                 continue
             score += len(text) * (1.0 - ratio)
         if score > best_score:  # strict >: ties keep the first in doc order
-            best, best_score = cand, score
+            best, best_ps, best_score = cand, ps, score
 
     if best is None:
         return None
     paras = []
-    for p in _candidate_paragraphs(best):
-        text = _norm_space(p.get_text(" "))
-        if text and _link_ratio(p) <= 0.66:
+    for p in best_ps:
+        text = doc.p_text(p)
+        if text and doc.p_link(p) <= 0.66:
             paras.append(text)
     body = "\n".join(paras)
     if len(body) < MIN_ENGINE1_CHARS:
@@ -351,24 +489,24 @@ def engine_density(tree: Node, url: str) -> Optional[Dict]:
     # Title bias: og:title -> first <h1> (NOT <title>; that is stage 2's bias,
     # preserving the C1 fill-if-empty merge the reference relies on).
     title = ""
-    og_title = tree.find("meta", {"property": "og:title"})
+    og_title = doc.find("meta", {"property": "og:title"})
     if og_title is not None and og_title.get("content"):
         title = og_title.get("content").strip()
     else:
-        h1 = tree.find("h1")
+        h1 = doc.find("h1")
         if h1 is not None:
             title = _norm_space(h1.get_text(" "))
 
-    images = extract_images_priority(tree, url)
+    images = doc.images_priority()
     # E3 top-image prepend (extractor.py:341-343): trafilatura's data['image']
     # is the og:image; prepend if novel.
-    og_img = tree.find("meta", {"property": "og:image"})
+    og_img = doc.find("meta", {"property": "og:image"})
     if og_img is not None and og_img.get("content"):
         top = _absolutize(og_img.get("content"), url)
         if top not in images:
             images.insert(0, top)
 
-    date = extract_date(tree, url)  # extractor.py:346 fallback chain
+    date = doc.date_chain()  # extractor.py:346 fallback chain
     return {
         "url": url,
         "title": title,
@@ -390,7 +528,7 @@ _CLUSTER_MIN_WORDS = 25
 _P_MIN_WORDS = 3
 
 
-def _title_newspaper(tree: Node) -> str:
+def _title_newspaper(tree) -> str:
     og_title = tree.find("meta", {"property": "og:title"})
     if og_title is not None and og_title.get("content"):
         return og_title.get("content").strip()
@@ -409,12 +547,14 @@ def _title_newspaper(tree: Node) -> str:
     return ""
 
 
-def _best_p_cluster(tree: Node):
+def _best_p_cluster(doc):
     """Group <p> elements by parent; score = sum of word counts of paragraphs
     with >= 5 words. Returns (parent, [paragraph Nodes]) or (None, [])."""
     clusters: dict = {}
     order: List[int] = []
-    for p in tree.iter_elements():
+    p_nodes = doc.by_tag.get("p", ()) if isinstance(doc, Doc) else (
+        n for n in doc.iter_elements() if n.tag == "p")
+    for p in p_nodes:
         if p.tag != "p" or _under_exclusion(p):
             continue
         key = id(p.parent)
@@ -458,13 +598,14 @@ def _parse_iso_date(raw: str) -> str:
     return ""
 
 
-def engine_newspaper(tree: Node, url: str) -> Dict:
+def engine_newspaper(tree, url: str) -> Dict:
     """Stage-2 engine. Always returns a dict — newspaper's Article.parse()
     never 'fails soft', so the reference appends the stage-2 method tag
     whenever stage 2 runs without raising (extractor.py:261-271)."""
-    title = _title_newspaper(tree)
+    doc = _as_doc(tree, url)
+    title = _title_newspaper(doc)
 
-    parent, ps = _best_p_cluster(tree)
+    parent, ps = _best_p_cluster(doc)
     if parent is not None:
         paras = []
         for p in ps:
@@ -482,16 +623,16 @@ def engine_newspaper(tree: Node, url: str) -> Dict:
         ("name", "article:published_time"),
         ("name", "date"),
     ):
-        elem = tree.find("meta", {attr: value})
+        elem = doc.find("meta", {attr: value})
         if elem is not None and elem.get("content"):
             date = _parse_iso_date(elem.get("content"))
             if date:
                 break
     if not date:
-        date = extract_date(tree, url)  # extractor.py:381-382
+        date = doc.date_chain()  # extractor.py:381-382
 
-    images = extract_images_priority(tree, url)
-    top = _top_image_newspaper(tree, parent, url)
+    images = doc.images_priority()
+    top = _top_image_newspaper(doc, parent, url)
     if top and top not in images:  # E3 prepend (extractor.py:374-375)
         images.insert(0, top)
 
@@ -504,7 +645,7 @@ def engine_newspaper(tree: Node, url: str) -> Dict:
     }
 
 
-def _top_image_newspaper(tree: Node, cluster_parent: Optional[Node], url: str) -> str:
+def _top_image_newspaper(tree, cluster_parent: Optional[Node], url: str) -> str:
     og = tree.find("meta", {"property": "og:image"})
     if og is not None and og.get("content"):
         return _absolutize(og.get("content"), url)
@@ -568,7 +709,7 @@ def _has_block_children(node: Node) -> bool:
     )
 
 
-def readability_top_node(tree: Node) -> Optional[Node]:
+def readability_top_node(tree) -> Optional[Node]:
     scores: dict = {}
     order: dict = {}
 
@@ -612,16 +753,17 @@ def readability_top_node(tree: Node) -> Optional[Node]:
     return best_node
 
 
-def engine_readability(tree: Node, url: str, site_rules=DEFAULT_SITE_RULES) -> Dict:
+def engine_readability(tree, url: str, site_rules=DEFAULT_SITE_RULES) -> Dict:
     """Stage-3 engine (reference stage 3 minus the browser render, A3 ⊘).
     Site-rule path first (extractor.py:472-482), readability fallback when the
     rule text is <100 chars (extractor.py:484-494), then images/date/clean."""
+    doc = _as_doc(tree, url)
     text = ""
     title = ""
     for host_sub, body_sel, title_sel in site_rules or ():
         if host_sub in url:
-            article_elem = tree.select_one(body_sel)
-            title_elem = tree.select_one(title_sel)
+            article_elem = doc.select_one(body_sel)
+            title_elem = doc.select_one(title_sel)
             if article_elem is not None:
                 text = article_elem.get_text("\n", skip=_TEXT_SKIP).strip()
             if title_elem is not None:
@@ -629,14 +771,14 @@ def engine_readability(tree: Node, url: str, site_rules=DEFAULT_SITE_RULES) -> D
             break
 
     if not text or len(text) < 100:  # extractor.py:485
-        best = readability_top_node(tree)
+        best = readability_top_node(doc)
         if best is not None:
             text = best.get_text("\n", skip=_TEXT_SKIP).strip()
-        title_el = tree.find("title")  # doc.title() analog (extractor.py:494)
+        title_el = doc.find("title")  # doc.title() analog (extractor.py:494)
         title = _norm_space(title_el.get_text(" ")) if title_el is not None else title
 
-    images = extract_images_priority(tree, url)  # extractor.py:497
-    date = extract_date(tree, url)  # extractor.py:500
+    images = doc.images_priority()  # extractor.py:497
+    date = doc.date_chain()  # extractor.py:500
     text = clean_text(text)  # extractor.py:503 — stage-3-only cleaning
 
     return {
@@ -690,7 +832,7 @@ def extract_article(url: str, html, site_rules=DEFAULT_SITE_RULES) -> Dict:
             result["error"] = FAIL_MSG
             return result
 
-        tree = parse_html(text_html)
+        tree = Doc(parse_html(text_html), url)
 
         # --- stage 1 (extractor.py:237-256) ---
         try:

@@ -172,14 +172,23 @@ def _parse_simple(token: str):
     return (tag, node_id, classes, attrs)
 
 
+_SELECTOR_CACHE: dict = {}
+
+
 def _parse_selector(selector: str):
     """-> list of alternatives; each alternative is a descendant chain of
-    parsed simple selectors (last = the target)."""
+    parsed simple selectors (last = the target).  Memoized: the engine uses
+    a fixed selector vocabulary, re-parsing per call dominated profiles."""
+    cached = _SELECTOR_CACHE.get(selector)
+    if cached is not None:
+        return cached
     alts = []
     for alt in selector.split(","):
         chain = [_parse_simple(tok) for tok in alt.split()]
         if chain and all(c is not None for c in chain):
             alts.append(chain)
+    if len(_SELECTOR_CACHE) < 4096:
+        _SELECTOR_CACHE[selector] = alts
     return alts
 
 
