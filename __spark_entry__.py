@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": lambda s, d: textops.dedup_embedding_cosine(
             _emb(s, d), threshold=0.45, use_lsh=True
         ),
+        # url/corpus/stream analytics
+        "url_canonicalize": _sql("url_canonicalize"),
+        "host_stats": _sql("host_stats"),
+        "events_sessionize": _sql("events_sessionize"),
         # relational demonstrations
         "tpch_pricing_summary": _sql("tpch_pricing_summary"),
         "join_orders_by_nation": _sql("join_orders_by_nation"),
@@ -181,6 +185,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score",
         "ann_bruteforce_topk",
         "dedup_embedding_cosine",
+        "url_canonicalize",
+        "host_stats",
+        "events_sessionize",
         "tpch_pricing_summary",
         "join_orders_by_nation",
         "events_hourly",

@@ -498,3 +498,87 @@ WHERE round(sim, 6) >= 0.45
 ORDER BY vec_a, vec_b
 """,
 )
+
+# --- URL canonicalization (training-pipeline url-level dedup prep) ----------
+# strip fragment, tracking params (utm_*, fbclid, gclid), default ports,
+# trailing slash on path-only urls; lowercase scheme+host.
+_URL_SYNTH = (
+    "concat('HTTPS://News.Example-', CAST(doc_id % 7 AS VARCHAR(8)), "
+    "'.COM:443/Story/', CAST(doc_id AS VARCHAR(16)), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&utm_medium=rss&id=' "
+    "|| CAST(doc_id % 13 AS VARCHAR(8)) ELSE '/' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END)"
+)
+_dual(
+    "url_canonicalize",
+    rf"""
+SELECT doc_id, url,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             replace(regexp_replace(lower(url), '#.*$', ''), ':443/', '/'),
+             '(utm_[a-z]+|fbclid|gclid)=[^&]*', ''),
+           '\?&+|&&+|\?$', '?'),
+         '\?$|&$|/$', '') AS canonical_url
+FROM (SELECT doc_id, {_URL_SYNTH} AS url FROM documents) t
+ORDER BY doc_id
+""",
+    rf"""
+SELECT doc_id, url,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             replace(regexp_replace(lower(url), '#.*$', '', 'g'), ':443/', '/'),
+             '(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+           '\?&+|&&+|\?$', '?', 'g'),
+         '\?$|&$|/$', '', 'g') AS canonical_url
+FROM (SELECT doc_id, {_URL_SYNTH} AS url FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- per-host corpus stats (the groupBy a crawl pipeline always needs) -------
+_HOST_SYNTH = (
+    "concat('https://', CASE WHEN doc_id % 5 = 0 THEN 'news.naver.com' "
+    "ELSE concat('host', CAST(doc_id % 11 AS VARCHAR(8)), '.example.org') END, "
+    "'/a/', CAST(doc_id AS VARCHAR(16)))"
+)
+_both(
+    "host_stats",
+    rf"""
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM (
+  SELECT regexp_extract({_HOST_SYNTH}, '^https?://([^/]+)/', 1) AS host,
+         n_chars
+  FROM documents) t
+GROUP BY host
+ORDER BY host
+""",
+)
+
+# --- sessionization over the events stream (gap > 30 min) --------------------
+_both(
+    "events_sessionize",
+    """
+SELECT user_id, session_num,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts) AS VARCHAR(32)) AS session_start,
+       CAST(max(ts) AS VARCHAR(32)) AS session_end
+FROM (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL '30' MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events) g) s
+GROUP BY user_id, session_num
+ORDER BY user_id, session_num
+""",
+)

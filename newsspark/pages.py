@@ -292,10 +292,20 @@ def _page_html(i: int, arch: str, doc_text: str, url: str) -> bytes:
 _LANGS = ("ko", "ko", "ko", "ko", "ko", "ko", "ko", "en", "es", "zh", "de")
 
 
-def build_page(i: int, doc_text: str) -> Dict:
+_HUGE_PAD = ("<!-- " + "x" * 94 + " -->").encode()  # 100-byte comment block
+
+
+def build_page(i: int, doc_text: str, huge_every: int = 0) -> Dict:
     arch = archetype_for(i)
     url = _url_for(i, arch)
     html = _page_html(i, arch, doc_text, url)
+    if huge_every and i % huge_every == 7 and html:
+        # FIXTURES.md `huge` archetype (bench only): pad a valid page to
+        # 2-8 MB with comment blocks — content/extraction unchanged, size
+        # lane takes the routing hit
+        pad_blocks = (2 + i % 7) * 10_000  # 2..8 MB
+        html = html.replace(b"</body>", _HUGE_PAD * pad_blocks + b"</body>", 1)
+        arch = arch + "+huge"
     ts = _EPOCH + timedelta(days=i % 365, seconds=i % 86400)
     return {
         "url": url,
@@ -307,13 +317,13 @@ def build_page(i: int, doc_text: str) -> Dict:
     }
 
 
-def pages_pdf(doc_ids, doc_texts, replicas: int = 1) -> pd.DataFrame:
+def pages_pdf(doc_ids, doc_texts, replicas: int = 1, huge_every: int = 0) -> pd.DataFrame:
     """Build a pandas pages frame from document id/text sequences."""
     rows = []
     for doc_id, text in zip(doc_ids, doc_texts):
         for r in range(replicas):
             i = int(doc_id) * replicas + r
-            rows.append(build_page(i, text))
+            rows.append(build_page(i, text, huge_every=huge_every))
     return pd.DataFrame(
         rows, columns=["url", "warc_ts", "html", "text", "lang", "archetype"]
     )
@@ -325,7 +335,8 @@ PAGES_SCHEMA = (
 )
 
 
-def pages_df(spark, sf_dir: str, replicas: int = 1, limit: int | None = None):
+def pages_df(spark, sf_dir: str, replicas: int = 1, limit: int | None = None,
+             huge_every: int = 0):
     """Distributed pages synthesis: documents.parquet -> pages DataFrame via
     mapInPandas (generation itself runs on executors, scales with input)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -335,6 +346,7 @@ def pages_df(spark, sf_dir: str, replicas: int = 1, limit: int | None = None):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield pages_pdf(pdf["doc_id"], pdf["text"], replicas=replicas)
+                yield pages_pdf(pdf["doc_id"], pdf["text"], replicas=replicas,
+                                huge_every=huge_every)
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -60,3 +60,42 @@ def stream_extract(
     else:
         query = writer.trigger(processingTime="5 seconds").start()
     return query
+
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "event_counts",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+):
+    """Watermarked tumbling-window aggregation over an event stream — the
+    standard late-data-tolerant streaming shape (windows emit once the
+    watermark passes; late events inside the watermark still count)."""
+    from pyspark.sql import functions as F
+
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

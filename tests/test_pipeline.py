@@ -131,3 +131,32 @@ def test_warc_ts_partition_pruning(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "2026-01-02" in m.group(1), plan
+
+
+def test_huge_pages_route_through_size_lane_identically(spark):
+    import duckdb
+    from newsspark.engines import extract_article
+    from newsspark.pages import pages_pdf
+
+    docs = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' "
+        "where doc_id < 40"
+    ).fetchall()
+    pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs], huge_every=10)
+    huge = pdf[pdf["archetype"].str.endswith("+huge")]
+    assert len(huge) >= 2
+    assert (huge["html"].map(len) > 2_000_000).all()
+
+    pages = spark.createDataFrame(pdf[["url", "html"]], "url string, html binary")
+    got = {
+        r["url"]: r
+        for r in run_extract(
+            spark, pages, num_partitions=4, size_lane_bytes=1_000_000
+        ).collect()
+    }
+    assert len(got) == len(pdf)
+    # padding is comments only: extraction output identical to the oracle
+    for _, row in pdf.iterrows():
+        want = extract_article(row["url"], row["html"])
+        assert got[row["url"]]["text"] == want["text"], row["url"]
+        assert got[row["url"]]["method"] == want["method"]

@@ -39,3 +39,36 @@ def test_stream_matches_batch_and_is_incremental(spark, tiny_docs, tmp_path):
     after = spark.read.parquet(out_dir)
     assert after.count() == 90  # no duplicates from reprocessing
     assert after.select("url").distinct().count() == 90
+
+
+def test_windowed_watermark_aggregation(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from newsspark.streaming import stream_event_counts
+
+    events_dir = str(tmp_path / "events")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.parquet(events_dir)
+
+    q = stream_event_counts(spark, events_dir, query_name="ec_test")
+    q.awaitTermination(120)
+    got = spark.sql("select * from ec_test")
+
+    # every emitted (closed) window must match the batch aggregation exactly
+    batch = (
+        src.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            F.col("n_events"),
+        )
+    )
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    rows = got.collect()
+    assert rows, "watermark should close most historical windows"
+    for r in rows:
+        assert b[(r["window_start"], r["event_type"])] == r["n_events"]
+    # append mode withholds the windows still inside the watermark:
+    # the stream must emit strictly fewer groups than the full batch agg
+    assert len(rows) < len(b)
