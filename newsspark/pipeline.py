@@ -92,6 +92,7 @@ def run_extract(
     num_partitions: Optional[int] = None,
     size_lane_bytes: Optional[int] = 4 * 1024 * 1024,
     site_rules: Optional[DataFrame] = None,
+    pre_bucketed: bool = False,
 ) -> DataFrame:
     """pages(url, html, ...) -> articles(url, title, text, date, images,
     method, error).  Only (url, html) are referenced so Catalyst prunes every
@@ -100,7 +101,16 @@ def run_extract(
     ``site_rules``: optional dimension table (host_pattern, body_selector,
     title_selector) — the F2 generalization.  Joined with a **broadcast**
     join on host-substring containment (tiny dim table, the only join in the
-    system, SURVEY.md §2 I); matched rows carry their rule into the UDF."""
+    system, SURVEY.md §2 I); matched rows carry their rule into the UDF.
+
+    ``pre_bucketed``: skip the explicit url-hash exchange and trust the
+    input's own partitioning.  Use when the pages table is ALREADY stored
+    bucketed by url hash (Iceberg ``bucket(N, url)`` partition transform or
+    an equivalent bucketed write): at 100 TB the shuffle is the single
+    largest fixed cost of a rerun, and a bucketed table pays it once at
+    ingest instead of on every extraction run.  Row-level output is
+    identical either way (the UDF is row-wise); only load balance and the
+    resume bucketing rely on the hash, and a bucketed table provides both."""
     n = num_partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
 
     if site_rules is not None:
@@ -115,9 +125,10 @@ def run_extract(
         )
 
         def lane(part: DataFrame, parts: int) -> DataFrame:
+            if not pre_bucketed:
+                part = part.repartition(parts, F.xxhash64("url"))
             return (
-                part.repartition(parts, F.xxhash64("url"))
-                .withColumn(
+                part.withColumn(
                     "a",
                     extract_articles_with_rules(
                         F.col("url"), F.col("html"),
@@ -131,9 +142,10 @@ def run_extract(
         df = pages.select("url", "html")
 
         def lane(part: DataFrame, parts: int) -> DataFrame:
+            if not pre_bucketed:
+                part = part.repartition(parts, F.xxhash64("url"))
             return (
-                part.repartition(parts, F.xxhash64("url"))
-                .withColumn("a", extract_articles(F.col("url"), F.col("html")))
+                part.withColumn("a", extract_articles(F.col("url"), F.col("html")))
                 .select("url", "a.*")
             )
 

@@ -160,3 +160,25 @@ def test_huge_pages_route_through_size_lane_identically(spark):
         want = extract_article(row["url"], row["html"])
         assert got[row["url"]]["text"] == want["text"], row["url"]
         assert got[row["url"]]["method"] == want["method"]
+
+
+def test_pre_bucketed_mode_no_exchange_same_output(spark):
+    import duckdb
+    from newsspark.pages import pages_pdf
+
+    docs = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' "
+        "where doc_id < 60"
+    ).fetchall()
+    pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs])
+    pages = spark.createDataFrame(pdf[["url", "html"]], "url string, html binary")
+
+    shuffled = {r["url"]: r for r in run_extract(spark, pages, num_partitions=4).collect()}
+    bucketed_df = run_extract(spark, pages, pre_bucketed=True)
+    bucketed = {r["url"]: r for r in bucketed_df.collect()}
+    assert set(shuffled) == set(bucketed)
+    for url in shuffled:
+        for f in ("title", "text", "date", "method", "error"):
+            assert shuffled[url][f] == bucketed[url][f]
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
