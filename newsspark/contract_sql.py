@@ -161,7 +161,7 @@ _dual(
     "dedupe_cap",
     """
 SELECT doc_id,
-       slice(array_distinct(cands), 1, 5) AS images,
+       array_join(slice(array_distinct(cands), 1, 5), '|') AS images,
        CAST(size(slice(array_distinct(cands), 1, 5)) AS BIGINT) AS n_images
 FROM (
   SELECT doc_id,
@@ -178,7 +178,7 @@ ORDER BY doc_id
 """,
     """
 SELECT doc_id,
-       list_slice(list_filter(cands, (x, i) -> list_position(cands, x) = i), 1, 5) AS images,
+       array_to_string(list_slice(list_filter(cands, (x, i) -> list_position(cands, x) = i), 1, 5), '|') AS images,
        CAST(len(list_slice(list_filter(cands, (x, i) -> list_position(cands, x) = i), 1, 5)) AS BIGINT) AS n_images
 FROM (
   SELECT doc_id,
