@@ -177,6 +177,20 @@ def method_metrics(articles: DataFrame) -> DataFrame:
     )
 
 
+def derive_published_ts(date_col):
+    """Derived TIMESTAMP from the reference's mixed-format ``date`` string
+    (SURVEY.md §1.4: the raw string column is the contract; this column is
+    additive).  Handles the three formats the cascade emits — ISO-8601 with
+    offset, 'YYYY-MM-DD HH:mm:ss' (naver span), bare 'YYYY-MM-DD' — and is
+    NULL for empty/unparseable values (F3's unvalidated month/day included)."""
+    cleaned = F.nullif(F.trim(date_col), F.lit(""))
+    return F.coalesce(
+        F.try_to_timestamp(cleaned),
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(F.substring(cleaned, 1, 10), F.lit("yyyy-MM-dd")),
+    )
+
+
 def extract_run(
     spark: SparkSession,
     pages: DataFrame,
@@ -200,6 +214,7 @@ def extract_run(
     result = run_extract(
         spark, pages, num_partitions=num_partitions, site_rules=site_rules
     )
+    result = result.withColumn("published_ts", derive_published_ts(F.col("date")))
     result.write.mode("overwrite").parquet(f"{out_dir}/_all")
     all_rows = spark.read.parquet(f"{out_dir}/_all")
     all_rows.where(F.col("error").isNull()).write.mode("overwrite").parquet(

@@ -117,13 +117,17 @@ def main() -> None:
             for i in range(0, len(runs) - len(levels) + 1, len(levels))
         ]
     else:
-        if os.path.exists(out_json):
-            os.remove(out_json)
-        rounds = []
+        # append mode: accumulate rounds across invocations; each round is
+        # internally consistent (back-to-back), so more rounds = better odds
+        # of catching a quiet window
         for _ in range(args.repeats):
-            rounds.append(
-                {c: run_one(c, pages, zpath, out_json, 1) for c in levels}
-            )
+            {c: run_one(c, pages, zpath, out_json, 1) for c in levels}
+        with open(out_json, encoding="utf-8") as f:
+            runs = [json.loads(l) for l in f if l.strip()]
+        rounds = [
+            {r["cores"]: r for r in runs[i:i + len(levels)]}
+            for i in range(0, len(runs) - len(levels) + 1, len(levels))
+        ]
     hw = hw_baseline(levels)
 
     def eff(rnd, a, b):

@@ -182,3 +182,22 @@ def test_pre_bucketed_mode_no_exchange_same_output(spark):
             assert shuffled[url][f] == bucketed[url][f]
     plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_derive_published_ts_mixed_formats(spark):
+    from newsspark.pipeline import derive_published_ts
+
+    rows = [
+        ("2026-01-02T10:30:00+09:00",),   # ISO with offset (meta passthrough)
+        ("2025-05-13 16:30:00",),          # naver span format
+        ("2024-03-04",),                   # bare URL date
+        ("2026-13-40",),                   # F3 unvalidated -> NULL, not error
+        ("",),                             # unknown -> NULL
+        ("Jan 3rd, maybe?",),              # verbatim junk -> NULL
+    ]
+    df = spark.createDataFrame(rows, "date string").withColumn(
+        "ts", derive_published_ts(__import__("pyspark.sql.functions", fromlist=["col"]).col("date"))
+    )
+    got = [r["ts"] for r in df.collect()]
+    assert got[0] is not None and got[1] is not None and got[2] is not None
+    assert got[3] is None and got[4] is None and got[5] is None
