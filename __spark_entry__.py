@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _sql("dedup_embedding_cosine"),
         # xxhash-based ops (no DuckDB equivalent -> rows-only checks)
         "dedup_minhash_lsh": lambda s, d: textops.dedup_minhash_lsh(_docs(s, d)),
+        "dedup_pipeline": lambda s, d: textops.dedup_pipeline(_docs(s, d)),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d)),
         "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)),
         "dedup_embedding_cosine_lsh": lambda s, d: textops.dedup_embedding_cosine(
@@ -166,9 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Omitted keys (extract_*, dedup_minhash_lsh, simhash64,
-    ann_lsh_topk) are rows-only: engines/xxhash64 are not reproducible in
-    DuckDB."""
+    """DuckDB twins. Omitted keys (extract_*, dedup_minhash_lsh,
+    dedup_pipeline, simhash64, ann_lsh_topk) are rows-only: engines/xxhash64
+    are not reproducible in DuckDB."""
     oracle_names = [
         "length_gate",
         "method_join",

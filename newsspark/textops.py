@@ -152,33 +152,30 @@ def dedup_minhash_lsh(
 
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token hashes.
-    Pure column expressions (xxhash64 + HOFs) — codegen end-to-end."""
-    # hash every token ONCE, then take per-bit votes over the hash array —
-    # without the materialization xxhash64 re-runs 64x per token
-    hashed = with_tokens(_spread(docs)).select(
-        "doc_id",
-        F.transform(F.col("tokens"), lambda t: F.xxhash64(t)).alias("hashes"),
-    )
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(
-            F.aggregate(
-                F.col("hashes"),
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
-            )
-            >= 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    # pack via shift/or — bitwise ops never hit the ANSI overflow check
-    # (bit 63 lands in the sign bit by design)
-    packed = F.aggregate(
-        bit_votes,
-        F.lit(0).cast("long"),
-        lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
-    )
-    return hashed.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+
+    Same explode + codegen'd-aggregate formulation as the MinHash signatures
+    (HOFs are interpreted; 64 plain SUM aggregates with map-side combine stay
+    inside whole-stage codegen): explode tokens, hash each ONCE, take 64
+    per-bit +/-1 sums, then pack the sign bits with shift/or (bitwise ops
+    never hit the ANSI overflow check; bit 63 lands in the sign bit by
+    design)."""
+    tok = with_tokens(_spread(docs)).select(
+        "doc_id", F.explode("tokens").alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.getbit(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = F.shiftleft(packed, 1).bitwiseOR(bit)
+    return agg.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
 
 
 def jaccard_adjacent(docs: DataFrame) -> DataFrame:
@@ -472,3 +469,31 @@ def _bucket_expr(vec_col, planes):
         )
         bucket = F.shiftleft(bucket, 1).bitwiseOR(bit)
     return bucket
+
+
+def dedup_pipeline(
+    docs: DataFrame, jaccard_threshold: float = 0.8,
+    n_hashes: int = 16, bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash+LSH candidate generation followed
+    by exact token-set Jaccard verification of ONLY the candidate pairs —
+    the standard two-phase shape that makes 10^12-document dedup tractable
+    (verify cost is proportional to collisions, never O(n²))."""
+    cands = dedup_minhash_lsh(docs, n_hashes=n_hashes, bands=bands)
+    tsets = with_tokens(docs).select(
+        "doc_id", F.array_distinct("tokens").alias("tset")
+    )
+    a = tsets.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("ta"))
+    b = tsets.select(F.col("doc_id").alias("doc_b"), F.col("tset").alias("tb"))
+    verified = (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.size(F.array_intersect("ta", "tb")).cast("double")
+             / F.size(F.array_union("ta", "tb")).cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified

@@ -164,3 +164,22 @@ def test_embedding_cosine_lsh_finds_true_near_duplicates(spark, emb):
     }
     assert (9000, 9001) in lsh
     assert (0, 9000) in lsh and (0, 9001) in lsh
+
+
+def test_dedup_pipeline_verifies_candidates(spark):
+    # 60 DISTINCT tokens so truncation genuinely halves the token set
+    words = [f"w{j:03d}" for j in range(60)]
+    base = " ".join(words)
+    rows = [(i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(40)))
+            for i in range(20)]
+    rows += [(100, base), (101, base),
+             (102, base.replace("w030", "variant", 1)),
+             (103, " ".join(words[:30]))]  # half-overlap: candidate but low jaccard
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in textops.dedup_pipeline(df, jaccard_threshold=0.8).collect()}
+    assert out[(100, 101)] == 1.0
+    assert (100, 102) in out and out[(100, 102)] >= 0.8
+    assert all(a >= 100 for a, _ in out)
+    # the half-doc may collide in LSH but must be filtered by the verify stage
+    assert (100, 103) not in out and (101, 103) not in out
