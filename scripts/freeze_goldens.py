@@ -19,7 +19,7 @@ import duckdb
 from newsspark.engines import extract_article
 from newsspark.pages import build_page
 
-N_DOCS = 200
+N_DOCS = 500
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests", "fixtures", "golden", "articles.jsonl",

@@ -24,7 +24,7 @@ def tiny_docs():
 
     return duckdb.sql(
         f"select doc_id, text from '{SF_TINY}/documents.parquet' "
-        "where doc_id < 200 order by doc_id"
+        "where doc_id < 500 order by doc_id"
     ).fetchall()
 
 
