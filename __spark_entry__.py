@@ -109,6 +109,48 @@ def _media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ann_bruteforce_topk(emb, n_queries=5, k=3)
 
 
+def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming url-dedup (applyInPandasWithState) driven to
+    completion with availableNow over two synthetic crawl waves (docs 0-199
+    then 100-299: 100 re-crawls), then read back as a batch DataFrame."""
+    import tempfile
+
+    from newsspark.pages import pages_pdf
+    from newsspark.streaming import stream_dedup_urls
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' "
+        "where doc_id < 300 order by doc_id"
+    ).fetchall()
+    root = tempfile.mkdtemp(prefix="newsspark_stream_dedup_")
+    pages_dir, out_dir, ckpt = f"{root}/pages", f"{root}/out", f"{root}/ckpt"
+    for lo, hi in ((0, 200), (100, 300)):
+        wave = [(d, t) for d, t in docs if lo <= d < hi]
+        pdf = pages_pdf([d for d, _ in wave], [t for _, t in wave])
+        spark.createDataFrame(
+            pdf[["url", "warc_ts", "html", "text", "lang", "archetype"]]
+        ).write.mode("append").parquet(pages_dir)
+    q = stream_dedup_urls(
+        spark, pages_dir, out_dir, ckpt, max_files_per_trigger=64
+    )
+    q.awaitTermination(300)
+    # per-url FINAL state (batching-invariant: the raw change feed's row
+    # count depends on micro-batch boundaries; the converged state doesn't)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("url")
+        .agg(
+            F.max("n_dropped").alias("n_dropped"),
+            F.sum(F.when(F.col("first_seen"), 1).otherwise(0)).alias(
+                "n_first_rows"
+            ),
+        )
+        .orderBy("url")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction cascade over pages synthesized from
     sf0.001 documents (url-hash repartition, size lane, error column)."""
@@ -155,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), threshold=0.45, use_lsh=True
         ),
         # url/corpus/stream analytics
+        "stream_dedup_urls": _stream_dedup_urls,
         "url_canonicalize": _sql("url_canonicalize"),
         "host_stats": _sql("host_stats"),
         "events_sessionize": _sql("events_sessionize"),

@@ -99,3 +99,100 @@ def stream_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DEDUP_OUT_DDL = "url string, warc_ts timestamp, first_seen boolean, n_dropped long"
+
+
+def stream_dedup_urls(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Cross-micro-batch URL dedup: emit each url the FIRST time it is seen
+    and drop every later re-crawl — the custom stateful operator a continuous
+    crawl-ingest needs (re-fetches of the same url arrive hours apart, far
+    beyond any watermark, so a windowed dedup cannot express this).
+
+    Built on ``applyInPandasWithState``: state is keyed by url (hash-
+    partitioned by Spark's state store, so state scales horizontally with
+    executors) and stores ``(emitted, n_dropped)``.  Update-mode semantics:
+    a group emits a row whenever it changes — ``first_seen=true`` with the
+    kept row's warc_ts the first time, ``first_seen=false`` with the running
+    duplicate count when later re-crawls are suppressed — so downstream
+    consumers filter ``first_seen`` for the deduped feed and the duplicate
+    volume stays observable.  In production the grouping key would be the
+    canonical url (`url_canonicalize`); state-store size is one small tuple
+    per distinct url, the standard RocksDB-state-backend shape.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pages = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def dedup(key, pdfs, state):
+        import pandas as pd
+
+        emitted, n_dropped = state.get if state.exists else (0, 0)
+        was_emitted = emitted
+        first = None
+        n_rows = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_rows += len(pdf)
+            if emitted == 0:
+                first = pdf.sort_values("warc_ts", kind="mergesort").iloc[:1]
+                emitted = 1
+                n_dropped += len(pdf) - 1
+            else:
+                n_dropped += len(pdf)
+        state.update((emitted, n_dropped))
+        if first is not None:
+            yield pd.DataFrame(
+                {
+                    "url": first["url"].values,
+                    "warc_ts": first["warc_ts"].values,
+                    "first_seen": [True],
+                    "n_dropped": [n_dropped],
+                }
+            )
+        elif was_emitted and n_rows:
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "warc_ts": [pd.NaT],
+                    "first_seen": [False],
+                    "n_dropped": [n_dropped],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                columns=["url", "warc_ts", "first_seen", "n_dropped"]
+            )
+
+    deduped = pages.groupBy("url").applyInPandasWithState(
+        dedup,
+        outputStructType=DEDUP_OUT_DDL,
+        stateStructType="emitted long, n_dropped long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # foreachBatch -> parquet append: update-mode rows land as a change
+    # feed, and (unlike the memory sink) the query can RECOVER from its
+    # checkpoint — restarts resume the url state instead of re-emitting.
+    def write_batch(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -41,6 +41,51 @@ def test_stream_matches_batch_and_is_incremental(spark, tiny_docs, tmp_path):
     assert after.select("url").distinct().count() == 90
 
 
+def test_stateful_url_dedup_across_batches(spark, tiny_docs, tmp_path):
+    """applyInPandasWithState: re-crawled urls are dropped across
+    micro-batches AND across stream restarts (state persists in the
+    checkpoint)."""
+    from newsspark.streaming import stream_dedup_urls
+
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    docs = tiny_docs[:20]
+
+    # wave 1: docs 0-19; wave 2: docs 10-29 (10 re-crawls + 10 new).
+    # separate parquet files + maxFilesPerTrigger=1 => multiple micro-batches.
+    _write_pages(spark, docs, pages_dir)
+    _write_pages(spark, tiny_docs[10:30], pages_dir)
+
+    out1 = str(tmp_path / "dd_out1")
+    q = stream_dedup_urls(spark, pages_dir, out1, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out1).collect()
+    firsts = [r for r in rows if r["first_seen"]]
+    assert len(firsts) == 30  # urls 0-29, each emitted exactly once
+    assert len({r["url"] for r in firsts}) == 30
+    assert all(r["warc_ts"] is not None for r in firsts)
+    # running duplicate count: max n_dropped per url sums to the 10 re-crawls
+    per_url = {}
+    for r in rows:
+        per_url[r["url"]] = max(per_url.get(r["url"], 0), r["n_dropped"])
+    assert sum(per_url.values()) == 10
+
+    # restart with a THIRD wave: all 30 urls again. State persisted in the
+    # checkpoint => NO first_seen rows, and n_dropped continues counting up
+    # from the pre-restart state.
+    _write_pages(spark, tiny_docs[:30], pages_dir)
+    out2 = str(tmp_path / "dd_out2")
+    q2 = stream_dedup_urls(spark, pages_dir, out2, ckpt)
+    q2.awaitTermination(120)
+    rows2 = spark.read.parquet(out2).collect()
+    assert rows2 and all(not r["first_seen"] for r in rows2)
+    per_url2 = {}
+    for r in rows2:
+        per_url2[r["url"]] = max(per_url2.get(r["url"], 0), r["n_dropped"])
+    # urls 10-19 carried n_dropped=1 across the restart -> now 2; rest 1
+    assert sum(per_url2.values()) == 40
+
+
 def test_windowed_watermark_aggregation(spark, tmp_path):
     import pyspark.sql.functions as F
 
