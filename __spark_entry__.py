@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": lambda s, d: textops.dedup_pipeline(_docs(s, d)),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d)),
         "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: textops.ann_ivf_topk(_emb(s, d)),
         "dedup_embedding_cosine_lsh": lambda s, d: textops.dedup_embedding_cosine(
             _emb(s, d), threshold=0.45, use_lsh=True
         ),

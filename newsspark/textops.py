@@ -337,6 +337,112 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus with a small
+    deterministic k-means, then search only the ``n_probe`` nearest cells per
+    query — the FAISS-IVF shape re-expressed as DataFrame ops.
+
+    Scale analysis (the reason IVF is the 10^9-vector path): the index build
+    is ``lloyd_iters`` passes of [broadcast K centroids -> min_by assignment
+    -> posexplode + groupBy(cell, pos) mean], all map-side except the
+    K x dim-sized aggregation; the search scans n_probe/K of the corpus per
+    query instead of all of it.  No driver-side collect anywhere — centroids
+    stay a K-row DataFrame that Catalyst broadcasts.
+
+    Determinism: init assigns vectors to cells by ``xxhash64(vec_id) mod K``
+    (random-partition init, no RNG state); nearest-cell ties break on cell
+    id via struct ordering."""
+    from pyspark.sql import Window
+
+    def centroids_of(assigned: DataFrame) -> DataFrame:
+        # element-wise mean per cell: posexplode -> avg -> rebuild array
+        return (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        # broadcast K centroids; nearest cell via min(struct(dist, cell)) —
+        # deterministic tie-break, single aggregation, no window
+        scored = vectors.crossJoin(F.broadcast(cents))
+        d2 = F.aggregate(
+            F.zip_with("embedding", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct(d2.alias("d2"), F.col("cell").alias("cell")))
+                .alias("best"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding", F.col("best.cell").alias("cell"))
+        )
+
+    init = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_centroids)).alias("cell"),
+    )
+    cents = centroids_of(init)
+    assigned = init
+    for _ in range(lloyd_iters):
+        assigned = assign(emb.select("vec_id", "embedding"), cents)
+        cents = centroids_of(assigned)
+
+    # query side: the n_probe nearest cells per query vector
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qd2 = F.aggregate(
+        F.zip_with("q", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q", "cell", qd2.alias("qd2"))
+        .withColumn("probe_rank", F.row_number().over(wprobe))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q", F.col("cell").alias("qcell"))
+    )
+
+    # inverted-file scan: only vectors in probed cells are scored
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = (_dot(F.col("q"), F.col("embedding"))
+           / (_norm(F.col("q")) * _norm(F.col("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.round("sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

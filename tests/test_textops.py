@@ -117,6 +117,33 @@ def test_ann_lsh_recall_against_bruteforce(spark, emb):
     assert hits >= 3, (hits, brute_top1, {k: sorted(v) for k, v in lsh_by_q.items()})
 
 
+def test_ann_ivf_recall_against_bruteforce(spark, emb):
+    brute = textops.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
+    ivf = textops.ann_ivf_topk(emb, n_queries=10, k=5).collect()
+    brute_top1 = {r["query_id"]: r["neighbor_id"] for r in brute if r["rank"] == 1}
+    ivf_by_q = {}
+    for r in ivf:
+        ivf_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing 4/16 cells must recover most true top-1 neighbors
+    hits = sum(1 for q, n in brute_top1.items() if n in ivf_by_q.get(q, set()))
+    assert hits >= 5, (hits, brute_top1)
+    for r in ivf:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 5
+        assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_ann_ivf_partitions_corpus(spark, emb):
+    """Every query scans only its probed cells: the candidate set per query
+    must be a strict subset of the corpus (the IVF win)."""
+    out = textops.ann_ivf_topk(emb, n_queries=3, k=1000, n_probe=1).collect()
+    n = emb.count()
+    per_q = {}
+    for r in out:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q and all(c < n * 0.5 for c in per_q.values()), per_q
+
+
 def test_ann_uses_broadcast_join(spark, emb):
     plan = textops.ann_bruteforce_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan, plan
