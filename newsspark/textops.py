@@ -349,21 +349,25 @@ def ann_ivf_topk(
     deterministic k-means, then search only the ``n_probe`` nearest cells per
     query — the FAISS-IVF shape re-expressed as DataFrame ops.
 
-    Scale analysis (the reason IVF is the 10^9-vector path): the index build
-    is ``lloyd_iters`` passes of [broadcast K centroids -> min_by assignment
-    -> posexplode + groupBy(cell, pos) mean], all map-side except the
-    K x dim-sized aggregation; the search scans n_probe/K of the corpus per
-    query instead of all of it.  No driver-side collect anywhere — centroids
-    stay a K-row DataFrame that Catalyst broadcasts.
+    Scale analysis (the reason IVF is the 10^9-vector path): the centroid
+    model is K x dim — a driver-side model exactly like MLlib KMeans — so
+    each Lloyd iteration materializes it (K rows collected) and re-embeds it
+    as a LITERAL array column; cell assignment is then a map-only argmin
+    over that literal (zero shuffle of the corpus, whole plan short — no
+    exponential lineage across iterations).  The only shuffle per iteration
+    is the centroid recompute: posexplode + groupBy(cell, pos) mean, which
+    partial-aggregates map-side down to K x dim rows per partition.  The
+    search scans n_probe/K of the corpus per query instead of all of it.
 
     Determinism: init assigns vectors to cells by ``xxhash64(vec_id) mod K``
     (random-partition init, no RNG state); nearest-cell ties break on cell
     id via struct ordering."""
     from pyspark.sql import Window
 
-    def centroids_of(assigned: DataFrame) -> DataFrame:
-        # element-wise mean per cell: posexplode -> avg -> rebuild array
-        return (
+    def centroids_of(assigned: DataFrame) -> list:
+        # element-wise mean per cell: posexplode -> avg -> rebuild array;
+        # the result is the K x dim model, safe to materialize
+        rows = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.avg("v").alias("m"))
@@ -374,26 +378,40 @@ def ann_ivf_topk(
                     lambda s: s["m"],
                 ).alias("centroid")
             )
+            .collect()
+        )
+        return sorted((r["cell"], list(r["centroid"])) for r in rows)
+
+    def cent_literal(cents: list):
+        # K x dim literal array<struct<cell,centroid>> — the broadcast model
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(int(c)).alias("cell"),
+                    F.array(*[F.lit(float(v)) for v in vec]).alias("centroid"),
+                )
+                for c, vec in cents
+            ]
         )
 
-    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
-        # broadcast K centroids; nearest cell via min(struct(dist, cell)) —
-        # deterministic tie-break, single aggregation, no window
-        scored = vectors.crossJoin(F.broadcast(cents))
-        d2 = F.aggregate(
-            F.zip_with("embedding", "centroid", lambda a, b: (a - b) * (a - b)),
+    def d2(vec_col, cent_col):
+        return F.aggregate(
+            F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(F.struct(d2.alias("d2"), F.col("cell").alias("cell")))
-                .alias("best"),
-                F.first("embedding").alias("embedding"),
+
+    def cell_of(cents: list):
+        # map-only argmin over the literal model: min(struct(d2, cell))
+        return F.array_min(
+            F.transform(
+                cent_literal(cents),
+                lambda c: F.struct(
+                    d2(F.col("embedding"), c["centroid"]).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
             )
-            .select("vec_id", "embedding", F.col("best.cell").alias("cell"))
-        )
+        )["cell"]
 
     init = emb.select(
         "vec_id",
@@ -401,27 +419,37 @@ def ann_ivf_topk(
         F.pmod(F.xxhash64("vec_id"), F.lit(n_centroids)).alias("cell"),
     )
     cents = centroids_of(init)
-    assigned = init
     for _ in range(lloyd_iters):
-        assigned = assign(emb.select("vec_id", "embedding"), cents)
-        cents = centroids_of(assigned)
+        cents = centroids_of(
+            emb.select("embedding", cell_of(cents).alias("cell"))
+        )
+    assigned = emb.select("vec_id", "embedding", cell_of(cents).alias("cell"))
 
-    # query side: the n_probe nearest cells per query vector
+    # query side: the n_probe nearest cells per query vector — same literal
+    # model, exploded so each query emits its n_probe cell ids
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    qd2 = F.aggregate(
-        F.zip_with("q", "centroid", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("cell"))
+    wprobe = Window.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("qcell"))
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "q", "cell", qd2.alias("qd2"))
+        q.select(
+            "query_id",
+            "q",
+            F.explode(
+                F.transform(
+                    cent_literal(cents),
+                    lambda c: F.struct(
+                        d2(F.col("q"), c["centroid"]).alias("qd2"),
+                        c["cell"].alias("qcell"),
+                    ),
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", "q", F.col("pc.qd2").alias("qd2"),
+                F.col("pc.qcell").alias("qcell"))
         .withColumn("probe_rank", F.row_number().over(wprobe))
         .where(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q", F.col("cell").alias("qcell"))
+        .select("query_id", "q", "qcell")
     )
 
     # inverted-file scan: only vectors in probed cells are scored
