@@ -87,8 +87,10 @@ def main() -> None:
 
         timed("dedup_minhash_lsh", textops.dedup_minhash_lsh(docs))
         timed("simhash64", textops.simhash64(docs))
+        timed("dedup_pipeline", textops.dedup_pipeline(docs))
         timed("ann_bruteforce_topk", textops.ann_bruteforce_topk(emb))
         timed("ann_lsh_topk", textops.ann_lsh_topk(emb))
+        timed("ann_ivf_topk", textops.ann_ivf_topk(emb))
         timed("quality_score", textops.quality_score(docs))
         timed("dedup_exact", textops.dedup_exact(docs))
 
