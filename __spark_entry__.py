@@ -113,6 +113,7 @@ def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming url-dedup (applyInPandasWithState) driven to
     completion with availableNow over two synthetic crawl waves (docs 0-199
     then 100-299: 100 re-crawls), then read back as a batch DataFrame."""
+    import shutil
     import tempfile
 
     from newsspark.pages import pages_pdf
@@ -135,10 +136,14 @@ def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_dedup_urls(
         spark, pages_dir, out_dir, ckpt, max_files_per_trigger=64
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stream_dedup_urls did not drain within 600s")
     # per-url FINAL state (batching-invariant: the raw change feed's row
-    # count depends on micro-batch boundaries; the converged state doesn't)
-    return (
+    # count depends on micro-batch boundaries; the converged state doesn't).
+    # Materialized (tiny: one row per url) so the temp corpus/checkpoint can
+    # be deleted before returning the lazy DataFrame.
+    result = (
         spark.read.parquet(out_dir)
         .groupBy("url")
         .agg(
@@ -149,6 +154,9 @@ def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+    rows = result.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema).orderBy("url")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -211,9 +219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Omitted keys (extract_*, dedup_minhash_lsh,
-    dedup_pipeline, simhash64, ann_lsh_topk) are rows-only: engines/xxhash64
-    are not reproducible in DuckDB."""
+    """DuckDB twins. Omitted keys are rows-only, deliberately: the extract_*
+    and media_* engines are not SQL-expressible; dedup_minhash_lsh,
+    dedup_pipeline, simhash64, ann_lsh_topk, ann_ivf_topk, and
+    dedup_embedding_cosine_lsh depend on xxhash64 (no DuckDB equivalent);
+    stream_dedup_urls is a stateful streaming query."""
     oracle_names = [
         "length_gate",
         "method_join",

@@ -142,16 +142,23 @@ def stream_dedup_urls(
         was_emitted = emitted
         first = None
         n_rows = 0
+        # the group arrives as an ITERATOR of Arrow-bounded chunks — the
+        # earliest warc_ts may be in any chunk, so take the min across all
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             n_rows += len(pdf)
             if emitted == 0:
-                first = pdf.sort_values("warc_ts", kind="mergesort").iloc[:1]
-                emitted = 1
-                n_dropped += len(pdf) - 1
-            else:
-                n_dropped += len(pdf)
+                cand = pdf.sort_values("warc_ts", kind="mergesort").iloc[:1]
+                if first is None or (
+                    cand["warc_ts"].iloc[0] < first["warc_ts"].iloc[0]
+                ):
+                    first = cand
+        if emitted == 0 and first is not None:
+            emitted = 1
+            n_dropped += n_rows - 1
+        else:
+            n_dropped += n_rows
         state.update((emitted, n_dropped))
         if first is not None:
             yield pd.DataFrame(

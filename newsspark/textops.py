@@ -234,25 +234,18 @@ def _norm(a):
     )
 
 
-def ann_bruteforce_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5
-) -> DataFrame:
-    """Brute-force cosine top-k: the correctness baseline. The query set is
-    broadcast (tiny) against the full embedding table — no shuffle of the big
-    side; ranking is a per-query-group window."""
+def _cosine_topk(candidates: DataFrame, k: int) -> DataFrame:
+    """Shared ANN tail: cosine-score candidate (query, vector) pairs, rank
+    per query (ties break on vec_id asc), keep top k.  Every ANN variant
+    funnels through this so tie-breaking/rounding can never diverge between
+    the baseline and the scale paths."""
     from pyspark.sql import Window
 
-    queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
-    )
-    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     sim = (_dot(F.col("q"), F.col("embedding"))
            / (_norm(F.col("q")) * _norm(F.col("embedding"))))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("vec_id")
-    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        scored.select("query_id", "vec_id", sim.alias("sim"))
+        candidates.select("query_id", "vec_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -263,6 +256,19 @@ def ann_bruteforce_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ann_bruteforce_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: the correctness baseline. The query set is
+    broadcast (tiny) against the full embedding table — no shuffle of the big
+    side; ranking is a per-query-group window."""
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    return _cosine_topk(scored, k)
 
 
 def ann_lsh_topk(
@@ -324,17 +330,7 @@ def ann_lsh_topk(
         F.broadcast(queries),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    sim = (_dot(F.col("q"), F.col("embedding"))
-           / (_norm(F.col("q")) * _norm(F.col("embedding"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.select("query_id", "vec_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
-                F.round("sim", 6).alias("cos_sim"))
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk(scored, k)
 
 
 def ann_ivf_topk(
@@ -361,8 +357,13 @@ def ann_ivf_topk(
 
     Determinism: init assigns vectors to cells by ``xxhash64(vec_id) mod K``
     (random-partition init, no RNG state); nearest-cell ties break on cell
-    id via struct ordering."""
+    id via struct ordering; centroid values are rounded to 9 decimals when
+    the model is materialized so the low-order-bit jitter of float partial-
+    aggregate merge order (shuffle-fetch order is not deterministic) cannot
+    flip a borderline argmin between runs."""
     from pyspark.sql import Window
+
+    emb = _spread(emb)
 
     def centroids_of(assigned: DataFrame) -> list:
         # element-wise mean per cell: posexplode -> avg -> rebuild array;
@@ -380,7 +381,10 @@ def ann_ivf_topk(
             )
             .collect()
         )
-        return sorted((r["cell"], list(r["centroid"])) for r in rows)
+        return sorted(
+            (r["cell"], [round(float(v), 9) for v in r["centroid"]])
+            for r in rows
+        )
 
     def cent_literal(cents: list):
         # K x dim literal array<struct<cell,centroid>> — the broadcast model
@@ -458,17 +462,7 @@ def ann_ivf_topk(
         (F.col("cell") == F.col("qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    sim = (_dot(F.col("q"), F.col("embedding"))
-           / (_norm(F.col("q")) * _norm(F.col("embedding"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        cand.select("query_id", "vec_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
-                F.round("sim", 6).alias("cos_sim"))
-        .orderBy("query_id", "rank")
-    )
+    return _cosine_topk(cand, k)
 
 
 # ---------------------------------------------------------------------------
