@@ -240,15 +240,21 @@ ORDER BY keep_doc_id
 
 _TOK_SPARK = "split(trim(lower(text)), '\\s+')"
 _TOK_DUCK = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+# BPE-ish pretokenizer (textops.BPE_SPLIT_RE) as a SQL literal: apostrophe
+# doubled for the string literal; backslashes verbatim in BOTH engines
+# (Spark views run with escapedStringLiterals=true)
+_BPE_SQL = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 _dual(
     "token_count",
     f"""
-SELECT doc_id, CAST(size({_TOK_SPARK}) AS BIGINT) AS n_tokens
+SELECT doc_id, CAST(size({_TOK_SPARK}) AS BIGINT) AS n_tokens,
+       CAST(regexp_count(text, '{_BPE_SQL}') AS BIGINT) AS n_subword_tokens
 FROM documents ORDER BY doc_id
 """,
     f"""
-SELECT doc_id, CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens
+SELECT doc_id, CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_subword_tokens
 FROM documents ORDER BY doc_id
 """,
 )

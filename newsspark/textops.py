@@ -528,9 +528,26 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# GPT-2-style pretokenizer approximation: contractions, space-prefixed
+# letter runs, digit runs, punctuation runs.  No lookaheads/backreferences,
+# so Java regex (Spark) and RE2 (DuckDB) agree token-for-token.
+BPE_SPLIT_RE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+)
+
+
 def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword count (the number a
+    GPT-2-family tokenizer's pretokenizer would split into — the standard
+    budget estimate for training-data pipelines)."""
     t = with_tokens(docs)
-    return t.select("doc_id", F.size("tokens").alias("n_tokens")).orderBy("doc_id")
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE))
+        .cast("long")
+        .alias("n_subword_tokens"),
+    ).orderBy("doc_id")
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
