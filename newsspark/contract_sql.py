@@ -13,6 +13,12 @@ Conventions that make the value-hash comparison exact:
   never flip a cent;
 - Spark runs with spark.sql.parser.escapedStringLiterals=true so regex/string
   literals read byte-identically in both dialects; newlines are chr(10).
+- WINDOW aggregates need the same BIGINT cast as scalar ones (DuckDB windowed
+  sum() is HUGEINT → pandas float64, Spark is BIGINT → int64; the r1
+  events_sessionize hash failure was exactly this). Audited 2026-08-16: every
+  sum()/count()/size()/len()/row_number() in this module — scalar or windowed
+  — is wrapped in an explicit CAST; timestamps in outputs go through
+  CAST(... AS VARCHAR(32)) with session TZ pinned UTC.
 
 SURVEY.md §2 rows covered here: E2 (image_filter), F3 (url_date_parse),
 G1 (date_coalesce), C3 (dedupe_cap), C4 (method_join), B4 (length_gate),
@@ -575,8 +581,8 @@ SELECT user_id, session_num,
        CAST(max(ts) AS VARCHAR(32)) AS session_end
 FROM (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_num
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
   FROM (
     SELECT user_id, event_id, ts,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id

@@ -13,13 +13,20 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    # Type-distinct: int 0 and float 0.0 must NOT collapse to the same key.
+    # The driver's gate hashes typed representations, so a DuckDB HUGEINT
+    # surfacing as float64 vs Spark BIGINT is a real mismatch (r1 sessionize).
     import decimal
     if isinstance(v, decimal.Decimal):
         v = float(v)
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.12g}"
+            return "f:NaN"
+        return f"f:{v:.12g}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     try:
@@ -32,6 +39,16 @@ def norm_cell(v):
     except ImportError:
         pass
     return repr(v)
+
+
+def dtype_kinds(pdf):
+    # i/u → int, f → float, b → bool, else object; NULL-bearing int columns
+    # become float64 in BOTH engines' pandas paths, so kinds stay comparable.
+    out = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        out[c] = {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "obj")
+    return out
 
 
 def frame_key(pdf):
@@ -60,6 +77,8 @@ def main():
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, SF_DIR)
             spdf = sdf.toPandas()
@@ -82,6 +101,12 @@ def main():
             print(f"FAIL  {name}: columns {scols} != {ocols}")
             n_fail += 1
             continue
+        skinds, okinds = dtype_kinds(spdf), dtype_kinds(opdf)
+        kind_bad = {c: (skinds[c], okinds[c]) for c in scols if skinds[c] != okinds[c]}
+        if kind_bad:
+            print(f"FAIL  {name}: dtype kinds differ (spark, duck): {kind_bad}")
+            n_fail += 1
+            continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
             n_fail += 1
@@ -95,8 +120,6 @@ def main():
             n_fail += 1
         else:
             print(f"OK    {name}: {len(srows)} rows match")
-        if only and name not in only:
-            continue
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
