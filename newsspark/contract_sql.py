@@ -571,6 +571,148 @@ ORDER BY host
 """,
 )
 
+# --- the extraction cascade itself, oracled via the frozen golden corpus ----
+# The engines are not SQL-expressible, but their output over the FIXED golden
+# input is: tests/fixtures/golden/articles.jsonl holds the pure-Python
+# cascade's output for pages built from sf0.001 doc_ids 0..499, and the
+# queries() entry runs the Spark cascade over that same input — so the
+# driver's DuckDB side just projects the golden file.  Explicit column types
+# stop read_json from inferring 'date' as a DATE.
+DUCK_SQL["extract_cascade"] = """
+SELECT url, title, "date", method, error,
+       CAST(len(images) AS BIGINT) AS n_images,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM read_json('/root/repo/tests/fixtures/golden/articles.jsonl',
+               format = 'newline_delimited',
+               columns = {url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR',
+                          method: 'VARCHAR', error: 'VARCHAR',
+                          images: 'VARCHAR[]', text: 'VARCHAR'})
+ORDER BY url
+"""
+
+# --- hash-dependent dedup ops: DuckDB twins over the md5-prefix 60-bit hash --
+# The production paths in newsspark.textops use xxhash64 (no DuckDB
+# equivalent); the queries() entries run hash_fn="md5_60" whose base hash —
+# CAST(conv(substring(md5(x),1,15),16,10) AS BIGINT) in Spark, CAST('0x' ||
+# substring(md5(x),1,15) AS BIGINT) in DuckDB — is engine-portable, so DuckDB
+# can replay shingling, minhash, banding, and simhash votes EXACTLY.
+# tests/test_textops.py proves the xxhash64 and md5_60 paths find the same
+# verified duplicate pairs, closing the loop back to the production hash.
+
+
+def _h60_duck(e: str) -> str:
+    return f"CAST(concat('0x', substring(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _duck_only(name: str, sql: str) -> None:
+    DUCK_SQL[name] = sql
+
+
+_N_HASHES, _BANDS = 16, 4
+_RPB = _N_HASHES // _BANDS
+
+# word-3-shingles of the token array (mirrors textops.shingles_col: DuckDB
+# list_slice is inclusive-index, Spark slice is start+length)
+_SHINGLES_DUCK = (
+    "CASE WHEN len(tokens) >= 3 THEN "
+    "list_transform(range(1, len(tokens) - 1), "
+    "i -> array_to_string(list_slice(tokens, i, i + 2), ' ')) "
+    "ELSE [array_to_string(tokens, ' ')] END"
+)
+
+_SIG_COLS = ",\n         ".join(
+    "min({h}) AS h{s}".format(h=_h60_duck(f"concat('{s}:', sh)"), s=s)
+    for s in range(_N_HASHES)
+)
+_BAND_ROWS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+        b=b,
+        key=_h60_duck(
+            "concat_ws(':', "
+            + ", ".join(
+                f"CAST(h{b * _RPB + i} AS VARCHAR)" for i in range(_RPB)
+            )
+            + ")"
+        ),
+    )
+    for b in range(_BANDS)
+)
+
+_MINHASH_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM toks
+), sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {_BAND_ROWS}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+_duck_only(
+    "dedup_minhash_lsh",
+    _MINHASH_CTES + """
+SELECT doc_a, doc_b FROM cands
+ORDER BY doc_a, doc_b
+""",
+)
+
+_duck_only(
+    "dedup_pipeline",
+    _MINHASH_CTES + """
+, tsets AS (
+  SELECT doc_id, list_distinct(tokens) AS tset FROM toks
+), verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(ta.tset, tb.tset))) AS DOUBLE) AS j
+  FROM cands
+  JOIN tsets ta ON ta.doc_id = doc_a
+  JOIN tsets tb ON tb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard
+FROM verified WHERE j >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+
+# 60-bit simhash: result-bit j = majority vote (ties -> 1) of bit j of the
+# per-token md5-prefix hashes — identical packing to textops.simhash64's
+# MSB-first fold.
+_VOTE_COLS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(60)
+)
+_PACK_EXPR = "\n       | ".join(
+    f"(CAST(CASE WHEN s{j} >= 0 THEN 1 ELSE 0 END AS BIGINT) << {j})"
+    for j in range(59, -1, -1)
+)
+_duck_only(
+    "simhash64",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS tokens FROM documents
+), tok AS (
+  SELECT doc_id, unnest(tokens) AS t FROM toks
+), h AS (
+  SELECT doc_id, {_h60_duck('t')} AS h FROM tok
+), v AS (
+  SELECT doc_id,
+         {_VOTE_COLS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       {_PACK_EXPR} AS simhash
+FROM v ORDER BY doc_id
+""",
+)
+
 # --- sessionization over the events stream (gap > 30 min) --------------------
 _both(
     "events_sessionize",

@@ -4,15 +4,19 @@ similarity search (brute-force cosine top-k, hyperplane-LSH bucketed),
 text analysis (language ID, quality scoring, token counting, fingerprinting).
 
 Everything is built from JVM-side pyspark.sql.functions (higher-order
-functions over arrays, xxhash64, built-in aggregations) — no Python UDFs in
-any of these paths, so the whole module stays inside whole-stage codegen and
-scales with executors.  SQL-expressible ops have DuckDB oracle twins in
-__spark_entry__.oracle_sql(); hash-based ops (xxhash64 has no DuckDB
-equivalent) are rows-only checked.
+functions over arrays, xxhash64, built-in aggregations), with ONE designed
+Arrow-vectorized island: IVF centroid assignment/probing, where a numpy
+matmul per Arrow batch beats any per-row expression and keeps plan size
+O(1) in the centroid count.  SQL-expressible ops have DuckDB oracle twins
+in __spark_entry__.oracle_sql(); the hash-based dedup ops get twins via the
+engine-portable md5-prefix hash (hash_fn="md5_60"); the float-model-bucketed
+ANN variants are rows-only checked but recall-tested against brute force.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
@@ -22,6 +26,32 @@ from pyspark.sql import DataFrame, functions as F
 
 def with_tokens(docs: DataFrame, col: str = "text") -> DataFrame:
     return docs.withColumn("tokens", F.split(F.trim(F.lower(F.col(col))), r"\s+"))
+
+
+def _h60(col) -> "F.Column":
+    """60-bit hash from the md5 hex prefix: non-negative, fits BIGINT, and —
+    unlike xxhash64 — SQL-expressible in BOTH engines (Spark ``conv(hex,16,
+    10)``, DuckDB ``CAST('0x'||hex AS BIGINT)``), so hash-dependent operators
+    get exact DuckDB oracle twins.  Production paths keep xxhash64 (one JVM
+    intrinsic vs md5+conv); tests prove the two paths find the same verified
+    duplicate pairs."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash_seeded(col, seed: int, hash_fn: str) -> "F.Column":
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5_60":
+        return _h60(F.concat(F.lit(f"{seed}:"), col))
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def _hash_plain(col, hash_fn: str) -> "F.Column":
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return _h60(col)
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -65,7 +95,10 @@ def shingles_col(shingle: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", F.col("tokens"))))
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, shingle: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures via explode + hash-agg.
 
     Deliberately NOT a higher-order-function formulation: HOFs are
@@ -78,7 +111,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle: int = 3) ->
         "doc_id", F.explode(shingles_col(shingle)).alias("sh")
     )
     aggs = [
-        F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}") for s in range(n_hashes)
+        F.min(_hash_seeded(F.col("sh"), s, hash_fn)).alias(f"h{s}")
+        for s in range(n_hashes)
     ]
     return (
         sh.groupBy("doc_id")
@@ -91,7 +125,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, shingle: int = 3) ->
 
 
 def dedup_minhash_lsh(
-    docs: DataFrame, n_hashes: int = 16, bands: int = 4
+    docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs: docs sharing any band bucket.
 
@@ -100,7 +135,7 @@ def dedup_minhash_lsh(
     come from within-bucket combinations, so cost is O(bucket²) only where
     collisions exist (the LSH guarantee), never O(n²)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes=n_hashes)
+    sig = minhash_signatures(docs, n_hashes=n_hashes, hash_fn=hash_fn)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -108,14 +143,15 @@ def dedup_minhash_lsh(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    _hash_plain(
                         F.concat_ws(
                             ":",
                             F.transform(
                                 F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
                                 lambda v: v.cast("string"),
                             ),
-                        )
+                        ),
+                        hash_fn,
                     ).alias("band_key"),
                 ),
             )
@@ -150,8 +186,11 @@ def dedup_minhash_lsh(
     return pairs
 
 
-def simhash64(docs: DataFrame) -> DataFrame:
+def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token hashes.
+    (``hash_fn="md5_60"`` computes a 60-bit variant over the SQL-expressible
+    md5-prefix hash, bit j of the result = majority vote of bit j of the
+    token hashes — the exact shape the DuckDB oracle replays.)
 
     Deliberately HOF-based (interpreted) rather than explode + groupBy with
     64 SUM aggregates: measured 6.6x faster at sf0.1/local[32] (0.24s vs
@@ -162,13 +201,17 @@ def simhash64(docs: DataFrame) -> DataFrame:
     cluster. (The explode+codegen trick wins for MinHash's 16 MIN aggs, not
     for 64 per-bit votes.)"""
     # hash every token ONCE, then take per-bit votes over the hash array —
-    # without the materialization xxhash64 re-runs 64x per token
+    # without the materialization the hash re-runs 64x per token
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     hashed = with_tokens(_spread(docs)).select(
         "doc_id",
-        F.transform(F.col("tokens"), lambda t: F.xxhash64(t)).alias("hashes"),
+        F.transform(
+            F.col("tokens"), lambda t: _hash_plain(t, hash_fn)
+        ).alias("hashes"),
     )
+    # MSB-first fold so vote for hash-bit j lands at result-bit j
     bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(n_bits - 1), F.lit(0), F.lit(-1)),
         lambda b: F.when(
             F.aggregate(
                 F.col("hashes"),
@@ -333,6 +376,83 @@ def ann_lsh_topk(
     return _cosine_topk(scored, k)
 
 
+def ivf_train(
+    emb: DataFrame, n_centroids: int = 16, lloyd_iters: int = 2
+):
+    """Train the IVF coarse quantizer: deterministic Lloyd k-means returning
+    the K x dim centroid model as a numpy array (cell id == row index) — a
+    driver-side model exactly like MLlib's ``KMeansModel``.
+
+    Scale shape: each iteration is (a) a map-only vectorized cell assignment
+    (one ``(batch x dim) @ (dim x K)`` matmul per Arrow batch — see
+    ``_assign_cells_udf``; the model ships to executors once per task in the
+    UDF closure, same as a broadcast), then (b) ONE shuffle to recompute
+    centroids: posexplode -> groupBy(cell, pos) avg, which partial-aggregates
+    map-side down to K x dim rows per partition.  The corpus itself never
+    shuffles, and plan size stays O(1) in K (the r1 literal-array model was
+    O(K x dim) literals — a plan-size killer at real IVF scale, K ~= sqrt(n)).
+
+    Determinism: init assigns vectors to cells by ``xxhash64(vec_id) mod K``
+    (no RNG state); centroid values are rounded to 9 decimals when collected
+    so float partial-aggregate merge-order jitter (shuffle-fetch order is not
+    deterministic) cannot flip a borderline argmin between runs; empty cells
+    keep their previous centroid."""
+    import numpy as np
+
+    first = emb.select("embedding").first()
+    dim = len(first["embedding"])
+
+    def centroids_of(assigned: DataFrame, prev) -> "np.ndarray":
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        cents = (
+            np.array(prev, dtype=np.float64, copy=True)
+            if prev is not None
+            else np.zeros((n_centroids, dim))
+        )
+        for r in rows:
+            cents[r["cell"], r["pos"]] = round(float(r["m"]), 9)
+        return cents
+
+    init = emb.select(
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_centroids)).cast("int").alias("cell"),
+    )
+    cents = centroids_of(init, None)
+    for _ in range(lloyd_iters):
+        assigned = emb.select(
+            "embedding", _assign_cells_udf(cents)(F.col("embedding")).alias("cell")
+        )
+        cents = centroids_of(assigned, cents)
+    return cents
+
+
+def _assign_cells_udf(cents):
+    """Vectorized nearest-centroid assignment: a pandas UDF whose closure
+    carries the K x dim numpy model (shipped once per task, like a
+    broadcast); each Arrow batch is one matmul.  Ties break on the lowest
+    cell id (np.argmin returns the first minimum), matching the struct-min
+    tie rule of the r1 implementation."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(batch: pd.Series) -> pd.Series:
+        X = np.stack(batch.to_numpy()).astype(np.float64)
+        # argmin of ||x - c||² == argmin of (||c||² - 2 x·c): ||x||² is
+        # constant per row and cannot change the winner
+        d2 = c_sq - 2.0 * (X @ C.T)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -340,120 +460,49 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     lloyd_iters: int = 2,
+    model=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus with a small
     deterministic k-means, then search only the ``n_probe`` nearest cells per
     query — the FAISS-IVF shape re-expressed as DataFrame ops.
 
-    Scale analysis (the reason IVF is the 10^9-vector path): the centroid
-    model is K x dim — a driver-side model exactly like MLlib KMeans — so
-    each Lloyd iteration materializes it (K rows collected) and re-embeds it
-    as a LITERAL array column; cell assignment is then a map-only argmin
-    over that literal (zero shuffle of the corpus, whole plan short — no
-    exponential lineage across iterations).  The only shuffle per iteration
-    is the centroid recompute: posexplode + groupBy(cell, pos) mean, which
-    partial-aggregates map-side down to K x dim rows per partition.  The
-    search scans n_probe/K of the corpus per query instead of all of it.
+    Pass ``model`` (from :func:`ivf_train`) to reuse a trained quantizer —
+    the real deployment shape, where training is amortized across queries;
+    bench.py reports train and search separately.
 
-    Determinism: init assigns vectors to cells by ``xxhash64(vec_id) mod K``
-    (random-partition init, no RNG state); nearest-cell ties break on cell
-    id via struct ordering; centroid values are rounded to 9 decimals when
-    the model is materialized so the low-order-bit jitter of float partial-
-    aggregate merge order (shuffle-fetch order is not deterministic) cannot
-    flip a borderline argmin between runs."""
-    from pyspark.sql import Window
-
+    Search shape at 10^9 vectors: corpus cell assignment is the map-only
+    vectorized UDF (zero corpus shuffle); the query side picks its n_probe
+    nearest cells with the same numpy model on the driver-broadcast row set;
+    the bucket join is broadcast (queries x n_probe rows), so only
+    n_probe/K of the corpus is ever scored."""
     emb = _spread(emb)
-
-    def centroids_of(assigned: DataFrame) -> list:
-        # element-wise mean per cell: posexplode -> avg -> rebuild array;
-        # the result is the K x dim model, safe to materialize
-        rows = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        return sorted(
-            (r["cell"], [round(float(v), 9) for v in r["centroid"]])
-            for r in rows
-        )
-
-    def cent_literal(cents: list):
-        # K x dim literal array<struct<cell,centroid>> — the broadcast model
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(int(c)).alias("cell"),
-                    F.array(*[F.lit(float(v)) for v in vec]).alias("centroid"),
-                )
-                for c, vec in cents
-            ]
-        )
-
-    def d2(vec_col, cent_col):
-        return F.aggregate(
-            F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def cell_of(cents: list):
-        # map-only argmin over the literal model: min(struct(d2, cell))
-        return F.array_min(
-            F.transform(
-                cent_literal(cents),
-                lambda c: F.struct(
-                    d2(F.col("embedding"), c["centroid"]).alias("d2"),
-                    c["cell"].alias("cell"),
-                ),
-            )
-        )["cell"]
-
-    init = emb.select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(n_centroids)).alias("cell"),
+    cents = model if model is not None else ivf_train(
+        emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters
     )
-    cents = centroids_of(init)
-    for _ in range(lloyd_iters):
-        cents = centroids_of(
-            emb.select("embedding", cell_of(cents).alias("cell"))
-        )
-    assigned = emb.select("vec_id", "embedding", cell_of(cents).alias("cell"))
+    assigned = emb.select(
+        "vec_id", "embedding",
+        _assign_cells_udf(cents)(F.col("embedding")).alias("cell"),
+    )
 
-    # query side: the n_probe nearest cells per query vector — same literal
-    # model, exploded so each query emits its n_probe cell ids
+    # query side: n_probe nearest cells per query — same model, exploded so
+    # each query emits its probe cell ids; plan stays O(1) in K
+    C = np.asarray(cents, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe(batch: pd.Series) -> pd.Series:
+        X = np.stack(batch.to_numpy()).astype(np.float64)
+        d2 = c_sq - 2.0 * (X @ C.T)
+        # stable argsort: equidistant cells order by cell id
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    wprobe = Window.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("qcell"))
-    probes = (
-        q.select(
-            "query_id",
-            "q",
-            F.explode(
-                F.transform(
-                    cent_literal(cents),
-                    lambda c: F.struct(
-                        d2(F.col("q"), c["centroid"]).alias("qd2"),
-                        c["cell"].alias("qcell"),
-                    ),
-                )
-            ).alias("pc"),
-        )
-        .select("query_id", "q", F.col("pc.qd2").alias("qd2"),
-                F.col("pc.qcell").alias("qcell"))
-        .withColumn("probe_rank", F.row_number().over(wprobe))
-        .where(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q", "qcell")
+    probes = q.select(
+        "query_id", "q", F.explode(probe(F.col("q"))).alias("qcell")
     )
 
     # inverted-file scan: only vectors in probed cells are scored
@@ -629,13 +678,13 @@ def _bucket_expr(vec_col, planes):
 
 def dedup_pipeline(
     docs: DataFrame, jaccard_threshold: float = 0.8,
-    n_hashes: int = 16, bands: int = 4,
+    n_hashes: int = 16, bands: int = 4, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup dedup: MinHash+LSH candidate generation followed
     by exact token-set Jaccard verification of ONLY the candidate pairs —
     the standard two-phase shape that makes 10^12-document dedup tractable
     (verify cost is proportional to collisions, never O(n²))."""
-    cands = dedup_minhash_lsh(docs, n_hashes=n_hashes, bands=bands)
+    cands = dedup_minhash_lsh(docs, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn)
     tsets = with_tokens(docs).select(
         "doc_id", F.array_distinct("tokens").alias("tset")
     )

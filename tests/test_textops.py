@@ -66,6 +66,44 @@ def test_minhash_lsh_finds_planted_duplicates(spark):
     assert all(a >= 100 and b >= 100 for a, b in pairs)
 
 
+def test_md5_hash_variant_matches_production_xxhash_pairs(spark, docs):
+    """The driver's oracle-checked entries run hash_fn="md5_60"; the library
+    default is xxhash64. Both must find the SAME verified duplicate pairs
+    (hash choice only perturbs chance band collisions, which Jaccard
+    verification removes), and the raw LSH candidate sets must each recall
+    every verified pair."""
+    d = docs.limit(300)
+    ver_xx = {(r["doc_a"], r["doc_b"])
+              for r in textops.dedup_pipeline(d, hash_fn="xxhash64").collect()}
+    ver_md5 = {(r["doc_a"], r["doc_b"])
+               for r in textops.dedup_pipeline(d, hash_fn="md5_60").collect()}
+    assert ver_xx == ver_md5
+    assert len(ver_xx) > 0  # the fixture corpus plants near-dups
+    cand_xx = {(r["doc_a"], r["doc_b"])
+               for r in textops.dedup_minhash_lsh(d, hash_fn="xxhash64").collect()}
+    cand_md5 = {(r["doc_a"], r["doc_b"])
+                for r in textops.dedup_minhash_lsh(d, hash_fn="md5_60").collect()}
+    assert ver_xx <= cand_xx and ver_xx <= cand_md5
+
+
+def test_simhash_md5_variant_is_60_bit_and_discriminative(spark):
+    base = " ".join(f"word{j}" for j in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("word7", "changed")),
+         (3, " ".join(f"other{j}" for j in range(60)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"]
+           for r in textops.simhash64(df, hash_fn="md5_60").collect()}
+    assert all(0 <= v < (1 << 60) for v in got.values())
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) <= 12
+    assert hamming(got[1], got[3]) > 12
+
+
 def test_simhash_near_duplicates_have_small_hamming(spark):
     base = " ".join(f"word{j}" for j in range(60))
     df = spark.createDataFrame(
