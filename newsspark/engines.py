@@ -52,8 +52,60 @@ def sniff_charset(raw: bytes) -> str:
     return ""
 
 
+def detect_charset_statistical(raw: bytes) -> str:
+    """Deterministic stdlib stand-in for the reference's chardet-backed
+    ``apparent_encoding`` step (extractor.py:38-40): byte-pattern scoring of
+    the first 8 KiB for the encodings a Korean-news corpus actually hits —
+    UTF-16 (BOM or NUL-stripe) and EUC-KR/CP949 (valid two-byte pair scan
+    with a hangul-syllable majority).  Returns '' when nothing is confident;
+    never raises."""
+    head = raw[:8192]
+    if head.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if head.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    if len(head) >= 32:
+        half = len(head) // 2
+        even_nul = head[::2].count(0)
+        odd_nul = head[1::2].count(0)
+        if odd_nul > half * 0.7 and even_nul < half * 0.05:
+            return "utf-16-le"
+        if even_nul > half * 0.7 and odd_nul < half * 0.05:
+            return "utf-16-be"
+    # CP949 pair scan: every high byte must open a valid (lead, trail) pair,
+    # and most pairs must land in the EUC-KR hangul-syllable block — plain
+    # latin-1/cp1252 text fails the trail check and stays undetected.
+    i, n = 0, len(head)
+    pairs = hangul = bad = 0
+    while i < n:
+        b = head[i]
+        if b < 0x80:
+            i += 1
+            continue
+        if i + 1 >= n:
+            bad += 1
+            break
+        t = head[i + 1]
+        lead_ok = 0x81 <= b <= 0xFE
+        trail_ok = (
+            0x41 <= t <= 0x5A or 0x61 <= t <= 0x7A or 0x81 <= t <= 0xFE
+        )
+        if lead_ok and trail_ok:
+            pairs += 1
+            if 0xB0 <= b <= 0xC8 and 0xA1 <= t <= 0xFE:
+                hangul += 1
+            i += 2
+        else:
+            bad += 1
+            i += 1
+    if pairs >= 4 and hangul * 2 >= pairs and bad * 10 <= pairs:
+        return "cp949"
+    return ""
+
+
 def decode_html(raw) -> str:
-    """bytes -> str via the 3-step cascade (extractor.py:34-44). Total."""
+    """bytes -> str via the 4-step cascade (extractor.py:34-44): utf-8 ->
+    declared charset -> statistical detection -> utf-8/replace. Total."""
     if raw is None:
         return ""
     if isinstance(raw, str):
@@ -68,6 +120,12 @@ def decode_html(raw) -> str:
     if declared and declared not in ("utf-8", "utf8"):
         try:
             return raw.decode(declared)
+        except Exception:
+            pass
+    detected = detect_charset_statistical(raw)
+    if detected:
+        try:
+            return raw.decode(detected)
         except Exception:
             pass
     return raw.decode("utf-8", errors="replace")
@@ -795,7 +853,11 @@ def engine_readability(tree, url: str, site_rules=DEFAULT_SITE_RULES) -> Dict:
 # ---------------------------------------------------------------------------
 
 FAIL_MSG = "모든 추출 방법 실패: 본문을 찾을 수 없습니다"  # extractor.py:304
-EMPTY_MSG = "페이지 다운로드 실패"  # extractor.py:316
+# NOTE: the reference's download-failure message (extractor.py:316, "페이지
+# 다운로드 실패") is NOT part of this contract: fetch is out of scope
+# (SURVEY.md A1 ⊘), and the empty-html path deliberately ends in FAIL_MSG —
+# matching the reference's swallowed-exception outcome where an empty body
+# falls through every engine to the same all-methods-failed error.
 
 STAGE1_TAG = "trafilatura"
 STAGE2_TAG = "newspaper3k"

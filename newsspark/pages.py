@@ -262,7 +262,7 @@ def _page_html(i: int, arch: str, doc_text: str, url: str) -> bytes:
 <img src="{img_base}/thumb/preview_{i}.jpg">
 </article></body></html>"""
     else:  # broken
-        variant = i % 5
+        variant = i % 6
         if variant == 0:
             return b""  # B6 empty html
         if variant == 1:
@@ -278,14 +278,26 @@ def _page_html(i: int, arch: str, doc_text: str, url: str) -> bytes:
                 + "</article></body></html>"
             )
             return html.encode("cp949")
+        elif variant == 4:
+            # UNDECLARED cp949 bytes (no charset anywhere): the statistical
+            # detector (A2's apparent_encoding role) must recover the Korean
+            # text — before round 2 this decoded to replacement chars
+            html = (
+                "<html><head><title>한국어 제목</title>"
+                "</head><body><article>"
+                + "".join(f"<p>{_KO_SNIPPET} 문단 {k}</p>" for k in range(6))
+                + "</article></body></html>"
+            )
+            return html.encode("cp949")
         else:
-            # wrong decl: cp949 bytes declaring a bogus charset — forces the
-            # utf-8/replace last resort (A2 step 3)
+            # bogus decl + byte soup no detector can claim (0xFF lead before
+            # ASCII is an invalid cp949 pair) — forces the utf-8/replace
+            # last resort (A2 step 4)
             html = (
                 '<html><head><meta charset="x-bogus-charset"></head><body>'
                 f"<article><p>{_KO_SNIPPET}</p></article></body></html>"
             )
-            return html.encode("cp949")
+            return html.encode("cp949") + b"\xff " * 40  # invalid-pair stripe
     return html.encode("utf-8")
 
 

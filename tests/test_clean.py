@@ -54,9 +54,41 @@ def test_decode_http_equiv_content_type():
 
 
 def test_decode_bad_declaration_falls_to_replace():
+    # too little hangul (3 pairs < detector minimum of 4) for statistical
+    # recovery -> the utf-8/replace last resort
     raw = '<meta charset="x-bogus"><p>한국어</p>'.encode("cp949")
     out = decode_html(raw)
     assert "�" in out  # replacement chars, never a raise
+
+
+def test_decode_undeclared_euckr_statistically_detected():
+    # A2 statistical-detection step (reference apparent_encoding/chardet,
+    # extractor.py:38-40): NO charset declaration anywhere
+    body = "기사 본문 문단입니다. 서울에서 열린 행사에서 시민들의 관심이 이어졌습니다."
+    raw = f"<html><body><p>{body}</p></body></html>".encode("cp949")
+    out = decode_html(raw)
+    assert body in out
+    assert "�" not in out
+
+
+def test_detect_charset_statistical():
+    from newsspark.engines import detect_charset_statistical as det
+
+    ko = "기사 본문 문단입니다. 서울에서 열린 행사."
+    assert det(ko.encode("cp949")) == "cp949"
+    assert det(b"\xff\xfeh\x00i\x00") == "utf-16-le"        # BOM
+    assert det(b"\xfe\xff\x00h\x00i") == "utf-16-be"        # BOM
+    long_ascii = "hello world, this is a longer page body " * 3
+    assert det(long_ascii.encode("utf-16-le")) == "utf-16-le"  # NUL stripe
+    assert det(long_ascii.encode("utf-16-be")) == "utf-16-be"
+    # latin-1 accents are invalid cp949 pairs -> stays undetected
+    assert det(("café résumé à côté, naïve déjà vu " * 4).encode("latin-1")) == ""
+    assert det(b"") == ""
+    assert det(b"plain ascii only") == ""
+    # detected-but-undecodable never raises: invalid stripe after valid pairs
+    raw = ko.encode("cp949") + b"\xff " * 40
+    assert det(raw) == ""  # stripe outvotes the pairs
+    assert "�" in decode_html(raw)
 
 
 def test_sniff_charset():

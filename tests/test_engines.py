@@ -3,7 +3,6 @@
 import pytest
 
 from newsspark.engines import (
-    EMPTY_MSG,
     FAIL_MSG,
     engine_density,
     engine_newspaper,
