@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs (no pillow/ffmpeg), so the *codec*
-layer is stubbed two ways, clearly marked:
+The container has no image/audio codecs (no pillow/ffmpeg), so the *pixel*
+layer is stubbed, clearly marked — but the metadata path is real:
 - payloads in the deterministic FAKE container formats below are "decoded"
   for real (header parse + byte statistics) — exercising the actual Spark
   plumbing: schema, binary Arrow transfer, batch shapes, partitioning;
-- any real format (JPEG/PNG/WAV magic) raises ``NotImplementedError`` into
+- real JPEG / PNG / GIF / WAV payloads get a pure-stdlib HEADER parse
+  (SOF frame dims, IHDR dims, logical-screen dims, fmt sample rate) so
+  width/height/sample_rate populate without any codec; pixel/sample
+  decode stays behind ``NotImplementedError`` (mp4 demux too), routed to
   the per-row ``error`` column, never failing the job.
 
 Fake container formats (all big-endian):
@@ -85,6 +88,44 @@ def make_video(seed: int, width: int, height: int, n_frames: int, fps: int) -> b
     )
 
 
+def make_real_jpeg(seed: int, width: int, height: int) -> bytes:
+    """Minimal real-format JPEG: SOI + APP0/JFIF + SOF0 header carrying the
+    dimensions, then a deterministic byte tail (no scan data — the pixel
+    layer is stubbed; only the header is contractually real)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_real_png(seed: int, width: int, height: int) -> bytes:
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+        + _lcg_bytes(seed, 64)
+    )
+
+
+def make_real_gif(seed: int, width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + _lcg_bytes(seed, 32)
+
+
+def make_real_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    data = _lcg_bytes(seed, min(n_samples * 2, 4096))
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + fmt + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
     """Deterministic media table derived from documents.parquet doc_ids."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -98,15 +139,36 @@ def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
                     kind = ("image", "audio", "video", "image")[i % 4]
                     if kind == "image":
                         w, h = 320 + (i % 17) * 16, 240 + (i % 11) * 16
-                        payload = make_image(i, w, h)
+                        # a third of images carry REAL jpeg/png/gif headers:
+                        # the stdlib header parser must recover dims without
+                        # a codec
+                        sel = i % 9
+                        if sel == 2:
+                            payload = make_real_jpeg(i, w, h)
+                        elif sel == 5:
+                            payload = make_real_png(i, w, h)
+                        elif sel == 8:
+                            payload = make_real_gif(i, w, h)
+                        else:
+                            payload = make_image(i, w, h)
                         meta = (w, h, 0)
                     elif kind == "audio":
                         sr, ns = 16000, 16000 * (1 + i % 5)
-                        payload = make_audio(i, sr, ns)
+                        payload = (
+                            make_real_wav(i, sr, ns)
+                            if i % 8 == 1
+                            else make_audio(i, sr, ns)
+                        )
                         meta = (0, 0, ns // (sr // 1000))
                     else:
                         w, h, nf, fps = 160, 120, 24 * (1 + i % 8), 24
-                        payload = make_video(i, w, h, nf, fps)
+                        # every fifth video is an mp4 magic: header demux is
+                        # NOT implemented -> error column (the stub boundary)
+                        payload = (
+                            b"\x00\x00\x00\x18ftypmp42" + _lcg_bytes(i, 64)
+                            if i % 5 == 2
+                            else make_video(i, w, h, nf, fps)
+                        )
                         meta = (w, h, nf * 1000 // fps)
                     # ~2% corrupt rows exercise the error column
                     if i % 50 == 7:
@@ -141,6 +203,59 @@ def _detect_real_format(payload: bytes):
     return None
 
 
+# JPEG SOF markers that carry frame dimensions (C4=DHT, C8=JPG ext, CC=DAC
+# are not frames)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_real_header(fmt: str, payload: bytes) -> dict:
+    """Pure-stdlib metadata parse of real container headers — the codec-free
+    half of decoding (reference parity: the fields a pillow ``Image.open``
+    lazy header read would give).  Pixel/sample decode stays stubbed.
+    Raises NotImplementedError for formats without a header parser (mp4)
+    and ValueError/struct.error on malformed headers."""
+    if fmt == "jpeg":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                raise ValueError(f"jpeg marker desync at {i}")
+            marker = payload[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {"width": w, "height": h}
+            if marker == 0xDA:  # start of scan: no SOF seen, give up
+                break
+            i += 2 + seglen
+        raise ValueError("jpeg: no SOF frame header found")
+    if fmt == "png":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("png: first chunk is not IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"width": w, "height": h}
+    if fmt == "gif":
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"width": w, "height": h}
+    if fmt == "wav/riff":
+        if payload[8:12] != b"WAVE":
+            raise ValueError("riff: not a WAVE file")
+        i, n = 12, len(payload)
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt ":
+                sr = struct.unpack("<I", payload[i + 12 : i + 16])[0]
+                return {"sample_rate": sr}
+            i += 8 + clen + (clen & 1)
+        raise ValueError("wav: no fmt chunk found")
+    raise NotImplementedError(
+        f"real {fmt} decode requires a demuxer/codec library"
+    )
+
+
 def _decode_one(payload) -> dict:
     """Parse the fake container header + byte statistics. Total per row."""
     out = dict(width=None, height=None, sample_rate=None, n_frames=None,
@@ -153,10 +268,15 @@ def _decode_one(payload) -> dict:
     real = _detect_real_format(payload)
     try:
         if real is not None:
-            # STUB: real codecs are not available in this container.
-            raise NotImplementedError(
-                f"real {real} decode requires an image/audio codec library"
-            )
+            # metadata path is real (stdlib header parse); pixel decode is
+            # the stubbed layer — byte stats run over the raw payload
+            out.update(_parse_real_header(real, payload))
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            out["mean_byte"] = float(arr.mean())
+            counts = np.bincount(arr, minlength=256).astype(np.float64)
+            p = counts[counts > 0] / len(arr)
+            out["byte_entropy"] = float(-(p * np.log2(p)).sum())
+            return out
         magic, body = payload[:4], payload[4:]
         if magic == b"FIMG":
             w, h = struct.unpack(">II", body[:8])

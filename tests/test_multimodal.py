@@ -47,11 +47,49 @@ def test_decode_parses_fake_containers(spark, media):
     assert errs
 
 
-def test_real_formats_stubbed_not_crashed():
-    jpeg = _decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    assert jpeg["error"].startswith("not_implemented: real jpeg")
-    png = _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-    assert png["error"].startswith("not_implemented: real png")
+def test_real_format_headers_parsed_without_codecs():
+    from newsspark.multimodal import (
+        make_real_gif, make_real_jpeg, make_real_png, make_real_wav,
+    )
+
+    jpeg = _decode_one(make_real_jpeg(1, 640, 480))
+    assert (jpeg["width"], jpeg["height"], jpeg["error"]) == (640, 480, None)
+    png = _decode_one(make_real_png(2, 800, 600))
+    assert (png["width"], png["height"], png["error"]) == (800, 600, None)
+    gif = _decode_one(make_real_gif(3, 320, 200))
+    assert (gif["width"], gif["height"], gif["error"]) == (320, 200, None)
+    wav = _decode_one(make_real_wav(4, 44100, 1000))
+    assert (wav["sample_rate"], wav["error"]) == (44100, None)
+
+
+def test_real_formats_without_parser_stubbed_not_crashed():
+    # mp4 demux is the stub boundary; malformed real headers error per-row
+    mp4 = _decode_one(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+    assert mp4["error"].startswith("not_implemented: real mp4")
+    bad_jpeg = _decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    assert bad_jpeg["error"] is not None and "jpeg" in bad_jpeg["error"]
+
+
+def test_planted_real_headers_decode_in_media_table(spark, media):
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    jpeg_ids = [
+        m for m, r in out.items()
+        if r["kind"] == "image" and m % 9 == 2 and r["error"] is None
+    ]
+    assert jpeg_ids, "corpus must plant real-jpeg rows"
+    for m in jpeg_ids:
+        assert out[m]["width"] == 320 + (m % 17) * 16
+        assert out[m]["height"] == 240 + (m % 11) * 16
+    wav_ids = [
+        m for m, r in out.items()
+        if r["kind"] == "audio" and m % 8 == 1 and r["error"] is None
+    ]
+    assert wav_ids and all(out[m]["sample_rate"] == 16000 for m in wav_ids)
+    mp4_errs = [
+        r["error"] for m, r in out.items()
+        if r["kind"] == "video" and m % 5 == 2 and m % 50 != 7
+    ]
+    assert mp4_errs and all(e and "not_implemented" in e for e in mp4_errs)
 
 
 def test_decode_deterministic():
