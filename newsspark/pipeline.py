@@ -99,9 +99,15 @@ def run_extract(
     other column at the scan (SURVEY.md §4.2 column pruning).
 
     ``site_rules``: optional dimension table (host_pattern, body_selector,
-    title_selector) — the F2 generalization.  Joined with a **broadcast**
-    join on host-substring containment (tiny dim table, the only join in the
-    system, SURVEY.md §2 I); matched rows carry their rule into the UDF.
+    title_selector) — the F2 generalization.  The FIRST matching rule wins,
+    like the reference's in-order rule scan (extractor.py:472-482); match
+    order is most-specific-pattern-first (longest host_pattern, ties on the
+    pattern text), so 'news.naver.com' beats 'naver.com'.  Implemented as a
+    map-only first-match over the collected rule list (config-sized, the
+    same driver-side-model shape as a broadcast) rather than a containment
+    join: a url matching two rules must NOT be duplicated, and a broadcast
+    nested-loop join evaluates every (row, rule) pair anyway — this shape
+    does the same work with zero join and no dup risk.
 
     ``pre_bucketed``: skip the explicit url-hash exchange and trust the
     input's own partitioning.  Use when the pages table is ALREADY stored
@@ -114,14 +120,38 @@ def run_extract(
     n = num_partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
 
     if site_rules is not None:
-        df = (
-            pages.select("url", "html")
-            .join(
-                F.broadcast(site_rules),
-                F.col("url").contains(F.col("host_pattern")),
-                "left",
-            )
-            .select("url", "html", "body_selector", "title_selector")
+        rule_rows = sorted(
+            site_rules.select(
+                "host_pattern", "body_selector", "title_selector"
+            ).collect(),
+            key=lambda r: (-len(r["host_pattern"] or ""), r["host_pattern"]),
+        )
+        if not rule_rows:  # empty dim table: no rule ever matches
+            rule_rows = [
+                {"host_pattern": "\x00never", "body_selector": "",
+                 "title_selector": ""}
+            ]
+        rules_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r["host_pattern"]).alias("hp"),
+                    F.lit(r["body_selector"]).alias("bs"),
+                    F.lit(r["title_selector"]).alias("ts"),
+                )
+                for r in rule_rows
+            ]
+        )
+        # F.get (0-based) returns NULL for no-match; element_at would throw
+        # under ANSI mode
+        first_rule = F.get(
+            F.filter(rules_arr, lambda s: F.col("url").contains(s["hp"])),
+            0,
+        )
+        df = pages.select(
+            "url",
+            "html",
+            first_rule["bs"].alias("body_selector"),
+            first_rule["ts"].alias("title_selector"),
         )
 
         def lane(part: DataFrame, parts: int) -> DataFrame:
@@ -230,7 +260,7 @@ def extract_run(
     ).collect()[0]
     wall_ms = int((time.time() - t0) * 1000)
     lineage_row = [
-        (run_id, -1, snapshot_id, int(stats["n"]), int(stats["f"] or 0),
+        (run_id, -1, 0, snapshot_id, int(stats["n"]), int(stats["f"] or 0),
          wall_ms, "ok")
     ]
     spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).write.mode(
@@ -252,6 +282,7 @@ LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
         T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_buckets", T.IntegerType()),
         T.StructField("snapshot_id", T.StringType()),
         T.StructField("n_rows", T.LongType()),
         T.StructField("n_failed", T.LongType()),
@@ -265,19 +296,33 @@ class SimulatedFailure(RuntimeError):
     """Raised by run_with_checkpoint(fail_after_buckets=...) in tests."""
 
 
-def completed_buckets(spark: SparkSession, lineage_dir: str) -> set:
+def completed_buckets(
+    spark: SparkSession, lineage_dir: str, n_buckets: Optional[int] = None
+) -> set:
+    """Buckets already marked ok.  When ``n_buckets`` is given, a lineage
+    written under a DIFFERENT bucket count is a hard error: bucket ids only
+    identify hash ranges relative to their n_buckets, so resuming with a new
+    count would silently skip wrong ranges (missing + duplicated urls)."""
     try:
         rows = (
             spark.read.schema(LINEAGE_SCHEMA)
             .parquet(lineage_dir)
             .where(F.col("status") == "ok")
-            .select("bucket")
+            .select("bucket", "n_buckets")
             .distinct()
             .collect()
         )
-        return {r["bucket"] for r in rows}
     except Exception:
         return set()
+    if n_buckets is not None:
+        seen = {r["n_buckets"] for r in rows} - {None}
+        if seen and seen != {n_buckets}:
+            raise ValueError(
+                f"lineage at {lineage_dir} was written with n_buckets="
+                f"{sorted(seen)}, resume requested n_buckets={n_buckets}; "
+                "restart clean or reuse the original bucket count"
+            )
+    return {r["bucket"] for r in rows}
 
 
 def run_with_checkpoint(
@@ -299,7 +344,7 @@ def run_with_checkpoint(
     anti-join-the-done-work shape works against Iceberg snapshot ids.
     """
     run_id = uuid.uuid4().hex[:12]
-    done = completed_buckets(spark, lineage_dir)
+    done = completed_buckets(spark, lineage_dir, n_buckets=n_buckets)
     bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     pages_b = pages.withColumn("__bucket", bucket_col)
     processed = 0
@@ -315,7 +360,8 @@ def run_with_checkpoint(
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
         ).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
-        row = [(run_id, b, snapshot_id, int(stats["n"]), int(stats["f"] or 0), wall_ms, "ok")]
+        row = [(run_id, b, n_buckets, snapshot_id, int(stats["n"]),
+                int(stats["f"] or 0), wall_ms, "ok")]
         spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(
             lineage_dir
         )

@@ -80,12 +80,47 @@ def test_site_rules_broadcast_join_equals_default_path(spark, tiny_docs=None):
             assert base[url][f] == joined[url][f], (url, f)
         assert list(base[url]["images"] or []) == list(joined[url]["images"] or [])
 
-    # and the join really is a broadcast, not a shuffle join
+    # the rules path is map-only: no join of any kind in the physical plan
+    # (first-match over the collected config-sized rule list — a url hitting
+    # two patterns must not duplicate, and a containment join can't express
+    # first-match)
     plan = (
         run_extract(spark, pages, num_partitions=4, site_rules=rules)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Broadcast" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_overlapping_site_rules_no_duplication_most_specific_wins(spark):
+    from newsspark.pages import pages_pdf
+    import duckdb
+
+    docs = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' "
+        "where doc_id < 120 order by doc_id"
+    ).fetchall()
+    pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs])
+    pages = spark.createDataFrame(pdf[["url", "html"]], "url string, html binary")
+    n_pages = pages.count()
+
+    # two rules match every naver url; the generic one has selectors that
+    # can never match, so output correctness proves the specific rule won
+    rules = spark.createDataFrame(
+        [
+            ("naver.com", "#no_such_body", ".no_such_title"),
+            ("n.news.naver.com", "#dic_area", ".media_end_head_headline"),
+        ],
+        "host_pattern string, body_selector string, title_selector string",
+    )
+    out = run_extract(spark, pages, num_partitions=4, site_rules=rules).collect()
+    assert len(out) == n_pages  # r1 bug: multi-match doubled these rows
+    urls = [r["url"] for r in out]
+    assert len(urls) == len(set(urls))
+    naver_ok = [
+        r for r in out
+        if "naver.com" in r["url"] and r["error"] is None and r["text"]
+    ]
+    assert naver_ok, "specific rule must extract the naver pages"
 
 
 def test_extract_run_four_tables(spark, tmp_path):

@@ -50,3 +50,21 @@ def test_kill_and_resume_identical_output(spark, tiny_docs, tmp_path):
     lineage = spark.read.parquet(part_lineage).collect()
     assert len(lineage) == 4
     assert len({r["run_id"] for r in lineage}) == 2  # two distinct runs
+
+
+def test_resume_with_different_n_buckets_is_refused(spark, tiny_docs, tmp_path):
+    """Bucket ids are only meaningful relative to their n_buckets: resuming
+    under a different count would silently skip wrong hash ranges."""
+    pages = _pages(spark, tiny_docs)
+    out_dir = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    with pytest.raises(SimulatedFailure):
+        run_with_checkpoint(spark, pages, out_dir, lineage, n_buckets=4,
+                            num_partitions=4, fail_after_buckets=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_with_checkpoint(spark, pages, out_dir, lineage, n_buckets=8,
+                            num_partitions=4)
+    # the original count still resumes cleanly
+    run_with_checkpoint(spark, pages, out_dir, lineage, n_buckets=4,
+                        num_partitions=4)
+    assert completed_buckets(spark, lineage, n_buckets=4) == {0, 1, 2, 3}
