@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_urls": _stream_dedup_urls,
         "url_canonicalize": _sql("url_canonicalize"),
         "host_stats": _sql("host_stats"),
+        "host_distinct_stats": _sql("host_distinct_stats"),
         "events_sessionize": _sql("events_sessionize"),
         # relational demonstrations
         "tpch_pricing_summary": _sql("tpch_pricing_summary"),
@@ -291,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_urls",
         "url_canonicalize",
         "host_stats",
+        "host_distinct_stats",
         "events_sessionize",
         "tpch_pricing_summary",
         "join_orders_by_nation",

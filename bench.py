@@ -36,9 +36,11 @@ def _sf_tag() -> str:
 
 
 def ensure_pages(spark) -> str:
-    from newsspark.pages import pages_df
+    from newsspark.pages import CORPUS_VERSION, pages_df
 
-    path = os.path.join(CACHE, f"pages_{_sf_tag()}_r{REPLICAS}.parquet")
+    path = os.path.join(
+        CACHE, f"pages_{_sf_tag()}_r{REPLICAS}_v{CORPUS_VERSION}.parquet"
+    )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         pages_df(spark, SF_DIR, replicas=REPLICAS).repartition(128).write.mode(
@@ -122,9 +124,16 @@ def main() -> None:
         for _ in range(2):
             t0 = time.time()
             out8 = run_extract(spark8, pages8, num_partitions=8)
-            n8 = out8.agg(F.count("*").alias("n")).collect()[0]["n"]
+            # aggregate over every output field — count(*) alone lets
+            # Catalyst prune the (deterministic) pandas UDF entirely
+            s8 = out8.agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+                F.sum(F.size("images")).alias("imgs"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("err"),
+            ).collect()[0]
             best8 = min(best8, time.time() - t0)
-            assert n8 == n_pages
+            assert s8["n"] == n_pages
         spark8.stop()
         timings["extract_cascade_w8"] = round(best8, 3)
 

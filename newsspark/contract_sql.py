@@ -856,6 +856,34 @@ FROM v ORDER BY doc_id
 """,
 )
 
+# --- skew-safe exact distinct per host (the SALTING pattern, SURVEY §4.2) ----
+# The synthesized corpus gives news.naver.com 20% of all rows (doc_id%5=0) —
+# a genuinely hot key.  A naive GROUP BY host + count(DISTINCT text) ships
+# every (hot-host, text) pair to one reducer; the two-level shape below
+# extends the hot key with the uniform content hash (salting by a natural
+# uniform column), so shuffle 1 is uniform and shuffle 2 carries only one
+# row per (host, distinct text).  Algebraic aggs (count/sum/max) don't need
+# this — Spark partial-aggregates map-side — exact DISTINCT does.
+_both(
+    "host_distinct_stats",
+    rf"""
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(max(n_copies) AS BIGINT) AS max_copies
+FROM (
+  SELECT host, md5(text) AS text_hash,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM (
+    SELECT regexp_extract({_HOST_SYNTH}, '^https?://([^/]+)/', 1) AS host,
+           text
+    FROM documents) raw
+  GROUP BY host, md5(text)) salted
+GROUP BY host
+ORDER BY host
+""",
+)
+
 # --- sessionization over the events stream (gap > 30 min) --------------------
 _both(
     "events_sessionize",

@@ -18,6 +18,10 @@ from typing import Dict, Iterator, List
 
 import pandas as pd
 
+# bump when the corpus spec moves (archetype mix / page templates) so cached
+# bench corpora regenerate; goldens re-freeze alongside
+CORPUS_VERSION = 2
+
 HOSTS = (
     "news.example-daily.com",
     "www.metro-herald.net",

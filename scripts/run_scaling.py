@@ -45,11 +45,14 @@ def build_zip() -> str:
 
 
 def ensure_pages(replicas: int) -> str:
-    from newsspark.pages import pages_df
+    from newsspark.pages import CORPUS_VERSION, pages_df
     from newsspark.session import get_spark
 
     tag = os.path.basename(SF_DIR.rstrip("/"))
-    path = os.path.join(REPO, "BENCH", ".cache", f"pages_{tag}_r{replicas}.parquet")
+    path = os.path.join(
+        REPO, "BENCH", ".cache",
+        f"pages_{tag}_r{replicas}_v{CORPUS_VERSION}.parquet",
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         spark = get_spark(app_name="scaling-gen", cores=16)
         # write 128 files so the bench scan parallelizes at any core count
