@@ -32,6 +32,12 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _corpus_version() -> int:
+    from newsspark.pages import CORPUS_VERSION
+
+    return CORPUS_VERSION
+
+
 def build_zip() -> str:
     dist = os.path.join(REPO, "BENCH", ".cache")
     os.makedirs(dist, exist_ok=True)
@@ -183,7 +189,7 @@ Same job (`scripts/bench_job.py`: read cached pages -> explicit
 cascade -> aggregate) launched via `spark-submit --py-files newsspark.zip`
 on the same input: {spark_runs[8]['pages']:,} Common-Crawl-style pages
 synthesized deterministically from `{SF_DIR}/documents.parquet`
-(FIXTURES.md archetype mix). The three levels run back-to-back within each
+(FIXTURES.md archetype mix, corpus v{_corpus_version()}). The three levels run back-to-back within each
 of {len(rounds)} rounds; the table shows the round with the best N=2->4N=8
 efficiency (per-round pairing — the host has minutes-long noisy-neighbor
 windows, so levels must never be compared across windows; all rounds are in
