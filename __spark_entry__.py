@@ -255,7 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 30 of 34 queries.  The engines themselves are oracled
+    """DuckDB twins — 31 of 35 queries.  The engines themselves are oracled
     through fixed points (the frozen golden corpus for extract_*, the
     media-generator case table for media_decode/frame_sample, the converged
     state for stream_dedup_urls); the hash-based dedup ops run the
