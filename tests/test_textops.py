@@ -248,3 +248,33 @@ def test_dedup_pipeline_verifies_candidates(spark):
     assert all(a >= 100 for a, _ in out)
     # the half-doc may collide in LSH but must be filtered by the verify stage
     assert (100, 103) not in out and (101, 103) not in out
+
+
+def test_ivf_plan_is_constant_size_in_k(spark, emb):
+    """The r1 IVF embedded the centroid model as a plan literal — O(K x dim)
+    literals, a plan-size killer at real IVF scale (K ~= sqrt(n)).  The
+    vectorized rewrite must keep the plan O(1) in K: same plan text size at
+    K=4 and K=64, assignment via ArrowEvalPython, probe join broadcast."""
+    model_small = textops.ivf_train(emb, n_centroids=4, lloyd_iters=1)
+    model_big = textops.ivf_train(emb, n_centroids=64, lloyd_iters=1)
+    plans = {}
+    for name, m in (("small", model_small), ("big", model_big)):
+        df = textops.ann_ivf_topk(emb, n_queries=3, k=2, model=m)
+        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plans["big"]
+    assert "Broadcast" in plans["big"]
+    # K=64 has 16x the centroids of K=4; the plan must not grow with it
+    # (allow slack for unrelated formatting noise)
+    assert len(plans["big"]) < len(plans["small"]) * 1.05, (
+        len(plans["small"]), len(plans["big"])
+    )
+
+
+def test_ivf_pretrained_model_reuse_matches_inline_training(spark, emb):
+    model = textops.ivf_train(emb, n_centroids=16, lloyd_iters=2)
+    reused = textops.ann_ivf_topk(emb, n_queries=5, k=3, model=model).collect()
+    inline = textops.ann_ivf_topk(emb, n_queries=5, k=3).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in rows
+    )
+    assert key(reused) == key(inline)
