@@ -102,12 +102,18 @@ def main() -> None:
         timed("dedup_pipeline", lambda: textops.dedup_pipeline(docs))
         timed("ann_bruteforce_topk", lambda: textops.ann_bruteforce_topk(emb))
         timed("ann_lsh_topk", lambda: textops.ann_lsh_topk(emb))
-        # IVF train vs search reported separately: training is amortized
-        # across queries in deployment, and mixing them hid the search cost
+        # the FAISS phases reported separately (train once, index once,
+        # search per query batch): mixing them hid the actual search cost
         t0 = time.time()
         ivf_model = textops.ivf_train(emb)
         timings["ann_ivf_train"] = round(time.time() - t0, 3)
-        timed("ann_ivf_topk", lambda: textops.ann_ivf_topk(emb, model=ivf_model))
+        t0 = time.time()
+        ivf_idx = textops.ivf_index(emb, ivf_model).persist()
+        ivf_idx.count()
+        timings["ann_ivf_index"] = round(time.time() - t0, 3)
+        timed("ann_ivf_topk", lambda: textops.ann_ivf_topk(
+            emb, model=ivf_model, index=ivf_idx))
+        ivf_idx.unpersist()
         timed("quality_score", lambda: textops.quality_score(docs))
         timed("dedup_exact", lambda: textops.dedup_exact(docs))
 

@@ -9,10 +9,14 @@ SF_TINY = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from newsspark.session import get_spark
 
-    session = get_spark(app_name="newsspark-tests", cores=4, shuffle_partitions=8)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    session = get_spark(
+        app_name="newsspark-tests", cores=4, shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield session
     session.stop()
 

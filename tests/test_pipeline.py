@@ -236,3 +236,34 @@ def test_derive_published_ts_mixed_formats(spark):
     got = [r["ts"] for r in df.collect()]
     assert got[0] is not None and got[1] is not None and got[2] is not None
     assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The 100 TB co-location story, demonstrated: two tables bucketed on the
+    join key join WITHOUT any Exchange in the physical plan — at scale this
+    is the ingest-once/join-many shape (Iceberg bucket(N, url) transform or
+    a bucketed Hive table; pre_bucketed extraction relies on the same
+    property)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 2000).select(
+        F.col("id").alias("url_id"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(0, 2000).select(
+        F.col("id").alias("url_id"), (F.col("id") % 13).alias("w")
+    )
+    spark.sql("DROP TABLE IF EXISTS bjoin_a")
+    spark.sql("DROP TABLE IF EXISTS bjoin_b")
+    a.write.bucketBy(8, "url_id").sortBy("url_id").saveAsTable("bjoin_a")
+    b.write.bucketBy(8, "url_id").sortBy("url_id").saveAsTable("bjoin_b")
+    try:
+        # disable broadcast so the join strategy must rely on bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bjoin_a").join(spark.table("bjoin_b"), "url_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bjoin_a")
+        spark.sql("DROP TABLE IF EXISTS bjoin_b")

@@ -278,3 +278,23 @@ def test_ivf_pretrained_model_reuse_matches_inline_training(spark, emb):
         (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in rows
     )
     assert key(reused) == key(inline)
+
+
+def test_ivf_prebuilt_index_matches_inline(spark, emb):
+    """The FAISS decomposition: search over a persisted ivf_index must equal
+    the inline path exactly."""
+    model = textops.ivf_train(emb, n_centroids=16, lloyd_iters=2)
+    idx = textops.ivf_index(emb, model).persist()
+    try:
+        idx.count()
+        via_index = textops.ann_ivf_topk(
+            emb, n_queries=5, k=3, model=model, index=idx
+        ).collect()
+        inline = textops.ann_ivf_topk(emb, n_queries=5, k=3).collect()
+        key = lambda rows: sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in rows
+        )
+        assert key(via_index) == key(inline)
+    finally:
+        idx.unpersist()
