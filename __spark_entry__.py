@@ -221,6 +221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sql("doc_fingerprint"),
         "lang_id": _sql("lang_id"),
         "quality_score": _sql("quality_score"),
+        "pii_scrub": _sql("pii_scrub"),
+        "repetition_stats": _sql("repetition_stats"),
+        "passage_chunks": _sql("passage_chunks"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
         "dedup_embedding_cosine": _sql("dedup_embedding_cosine"),
         # hash-based dedup ops: driver entries run hash_fn="md5_60" (the
@@ -255,7 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 31 of 35 queries.  The engines themselves are oracled
+    """DuckDB twins — 34 of 38 queries.  The engines themselves are oracled
     through fixed points (the frozen golden corpus for extract_*, the
     media-generator case table for media_decode/frame_sample, the converged
     state for stream_dedup_urls); the hash-based dedup ops run the
@@ -284,6 +287,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint",
         "lang_id",
         "quality_score",
+        "pii_scrub",
+        "repetition_stats",
+        "passage_chunks",
         "ann_bruteforce_topk",
         "dedup_embedding_cosine",
         "dedup_minhash_lsh",

@@ -392,6 +392,156 @@ ORDER BY doc_id
 """,
 )
 
+# --- PII scrub (pretraining-corpus redaction) ---------------------------------
+# documents.text is synthetic prose with no PII, so each doc plants a
+# deterministic email/phone/ipv4 tail; the op counts and redacts them.
+# Patterns avoid lookaheads/backreferences so Java regex and RE2 agree.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d{2,3}[- ]\d{3,4}[- ]\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_SYNTH = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR(16)), "
+    "'@mail-', CAST(doc_id % 9 AS VARCHAR(8)), '.example.com', "
+    "CASE WHEN doc_id % 3 = 0 THEN concat(' call +82 10-', "
+    "lpad(CAST(1000 + doc_id % 9000 AS VARCHAR(8)), 4, '0'), '-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR(8)), 4, '0')) ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 1 THEN concat(' from 10.', "
+    "CAST(doc_id % 256 AS VARCHAR(8)), '.0.', "
+    "CAST(doc_id % 100 AS VARCHAR(8))) ELSE '' END)"
+)
+_dual(
+    "pii_scrub",
+    f"""
+SELECT doc_id,
+       CAST(regexp_count(raw, '{_PII_EMAIL}') AS BIGINT) AS n_emails,
+       CAST(regexp_count(raw, '{_PII_PHONE}') AS BIGINT) AS n_phones,
+       CAST(regexp_count(raw, '{_PII_IPV4}') AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+         '{_PII_EMAIL}', '<EMAIL>'),
+         '{_PII_PHONE}', '<PHONE>'),
+         '{_PII_IPV4}', '<IP>') AS scrubbed
+FROM (SELECT doc_id, {_PII_SYNTH} AS raw FROM documents) t
+ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(raw, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IPV4}', '<IP>', 'g') AS scrubbed
+FROM (SELECT doc_id, {_PII_SYNTH} AS raw FROM documents) t
+ORDER BY doc_id
+""",
+)
+
+# --- repetition stats (Gopher-style quality signals) ---------------------------
+# top-token and top-bigram mass: high values flag boilerplate/spam documents.
+# Shape at scale: explode + two-level agg, all map-side partial — one shuffle.
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(tokens) >= 2 "
+    "THEN transform(sequence(1, size(tokens) - 1), "
+    "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1))) "
+    "ELSE array(concat_ws(' ', tokens)) END"
+)
+_BIGRAMS_DUCK = (
+    "CASE WHEN len(tokens) >= 2 "
+    "THEN list_transform(range(1, len(tokens)), "
+    "i -> concat(tokens[i], ' ', tokens[i + 1])) "
+    "ELSE [array_to_string(tokens, ' ')] END"
+)
+_dual(
+    "repetition_stats",
+    f"""
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       round(CAST(t.top_tok AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 4) AS top_token_frac,
+       round(CAST(b.top_bi AS DOUBLE) / CAST(greatest(t.n_tokens - 1, 1) AS DOUBLE), 4) AS top_bigram_frac
+FROM (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok
+  FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, {_TOK_SPARK} AS tokens FROM documents)
+    LATERAL VIEW explode(tokens) x AS tok
+    GROUP BY doc_id, tok) tc
+  GROUP BY doc_id) t
+JOIN (
+  SELECT doc_id, max(c) AS top_bi
+  FROM (
+    SELECT doc_id, bi, count(*) AS c
+    FROM (SELECT doc_id, {_BIGRAMS_SPARK} AS bigrams
+          FROM (SELECT doc_id, {_TOK_SPARK} AS tokens FROM documents))
+    LATERAL VIEW explode(bigrams) y AS bi
+    GROUP BY doc_id, bi) bc
+  GROUP BY doc_id) b ON t.doc_id = b.doc_id
+ORDER BY t.doc_id
+""",
+    f"""
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       round(CAST(t.top_tok AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 4) AS top_token_frac,
+       round(CAST(b.top_bi AS DOUBLE) / CAST(greatest(t.n_tokens - 1, 1) AS DOUBLE), 4) AS top_bigram_frac
+FROM (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok
+  FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(tokens) AS tok
+          FROM (SELECT doc_id, {_TOK_DUCK} AS tokens FROM documents) a) u
+    GROUP BY doc_id, tok) tc
+  GROUP BY doc_id) t
+JOIN (
+  SELECT doc_id, max(c) AS top_bi
+  FROM (
+    SELECT doc_id, bi, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS bi
+          FROM (SELECT doc_id, {_BIGRAMS_DUCK} AS bigrams
+                FROM (SELECT doc_id, {_TOK_DUCK} AS tokens FROM documents) a2) bg) ub
+    GROUP BY doc_id, bi) bc
+  GROUP BY doc_id) b ON t.doc_id = b.doc_id
+ORDER BY t.doc_id
+""",
+)
+
+# --- passage chunking (training-window preparation) ----------------------------
+# fixed token windows W=64 with stride S=48 (overlap 16): the standard
+# context-window prep; explode shape, one row per (doc, chunk).
+_CHUNK_W, _CHUNK_S = 64, 48
+_dual(
+    "passage_chunks",
+    f"""
+SELECT doc_id, chunk_id,
+       CAST(size(chunk) AS BIGINT) AS n_chunk_tokens,
+       array_join(chunk, ' ') AS chunk_text
+FROM (
+  SELECT doc_id, c.chunk_id,
+         slice(tokens, c.chunk_id * {_CHUNK_S} + 1, {_CHUNK_W}) AS chunk
+  FROM (SELECT doc_id, {_TOK_SPARK} AS tokens FROM documents) t
+  LATERAL VIEW explode(sequence(0,
+    CAST(ceil(CAST(greatest(size(tokens) - {_CHUNK_W}, 0) AS DOUBLE)
+              / {_CHUNK_S}) AS INT))) c AS chunk_id) s
+ORDER BY doc_id, chunk_id
+""",
+    f"""
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM (
+  SELECT doc_id, chunk_id,
+         list_slice(tokens, chunk_id * {_CHUNK_S} + 1,
+                    chunk_id * {_CHUNK_S} + {_CHUNK_W}) AS chunk
+  FROM (
+    SELECT doc_id, tokens,
+           unnest(range(0, CAST(ceil(CAST(greatest(len(tokens) - {_CHUNK_W}, 0) AS DOUBLE)
+                                     / {_CHUNK_S}) AS INT) + 1)) AS chunk_id
+    FROM (SELECT doc_id, {_TOK_DUCK} AS tokens FROM documents) t) u) s
+ORDER BY doc_id, chunk_id
+""",
+)
+
 # --- similarity search oracle ------------------------------------------------
 _dual(
     "ann_bruteforce_topk",
