@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": lambda s, d: textops.dedup_pipeline(
             _docs(s, d), hash_fn="md5_60"
         ),
+        "dedup_components": lambda s, d: textops.dedup_components(
+            textops.dedup_pipeline(_docs(s, d), hash_fn="md5_60")
+        ),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d), hash_fn="md5_60"),
         "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: textops.ann_ivf_topk(_emb(s, d)),
@@ -258,7 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 34 of 38 queries.  The engines themselves are oracled
+    """DuckDB twins — 35 of 39 queries.  The engines themselves are oracled
     through fixed points (the frozen golden corpus for extract_*, the
     media-generator case table for media_decode/frame_sample, the converged
     state for stream_dedup_urls); the hash-based dedup ops run the
@@ -294,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine",
         "dedup_minhash_lsh",
         "dedup_pipeline",
+        "dedup_components",
         "simhash64",
         "stream_dedup_urls",
         "url_canonicalize",

@@ -956,9 +956,7 @@ ORDER BY doc_a, doc_b
 """,
 )
 
-_duck_only(
-    "dedup_pipeline",
-    _MINHASH_CTES + """
+_VERIFIED_CTES = _MINHASH_CTES + """
 , tsets AS (
   SELECT doc_id, list_distinct(tokens) AS tset FROM toks
 ), verified AS (
@@ -968,10 +966,44 @@ _duck_only(
   FROM cands
   JOIN tsets ta ON ta.doc_id = doc_a
   JOIN tsets tb ON tb.doc_id = doc_b
-)
+)"""
+
+_duck_only(
+    "dedup_pipeline",
+    _VERIFIED_CTES + """
 SELECT doc_a, doc_b, round(j, 6) AS jaccard
 FROM verified WHERE j >= 0.8
 ORDER BY doc_a, doc_b
+""",
+)
+
+# --- duplicate-cluster components -> canonical keep list ----------------------
+# Transitive closure over the verified pairs: every doc in a duplicate
+# cluster gets component_id = min doc_id of the cluster; keep marks the
+# canonical representative.  Spark runs iterative min-label propagation
+# (textops.dedup_components); DuckDB replays it as a recursive CTE.
+_duck_only(
+    "dedup_components",
+    _VERIFIED_CTES.replace("\nWITH ", "\nWITH RECURSIVE ", 1) + """
+, kept AS (
+  SELECT doc_a, doc_b FROM verified WHERE j >= 0.8
+), e AS (
+  SELECT doc_a, doc_b FROM kept
+  UNION
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM kept
+), verts AS (
+  SELECT DISTINCT doc_a AS v FROM e
+), reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.doc_b FROM reach r JOIN e ON e.doc_a = r.dst
+)
+SELECT src AS doc_id,
+       CAST(min(dst) AS BIGINT) AS component_id,
+       (src = min(dst)) AS keep
+FROM reach
+GROUP BY src
+ORDER BY doc_id
 """,
 )
 

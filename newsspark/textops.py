@@ -190,6 +190,65 @@ def dedup_minhash_lsh(
     return pairs
 
 
+def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over verified duplicate pairs -> the canonical
+    keep list: every doc in a duplicate cluster gets ``component_id`` = the
+    cluster's min doc_id; ``keep`` marks the representative.  Docs with no
+    duplicates never enter the edge set and are implicitly kept.
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the per-vertex min — converging in
+    O(log diameter) rounds (near-dup clusters have tiny diameters, so
+    the alternating star tricks of large-graph CC are unnecessary).  Each
+    round is one shuffle join + one aggregation; labels are persisted and
+    the loop exits on a converged-count action.  At 10^12 docs the edge
+    set is only the verified-duplicate subset, not the corpus."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neigh = sym.join(
+            labels, sym["doc_b"] == labels["doc_id"]
+        ).select(F.col("doc_a").alias("doc_id"), F.col("component"))
+        new_labels = (
+            labels.select("doc_id", "component")
+            .unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            # cut lineage each round: without this the plan doubles per
+            # iteration (the classic iterative-DataFrame trap)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        "doc_id",
+        F.col("component").alias("component_id"),
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    ).orderBy("doc_id")
+    sym.unpersist()
+    return out
+
+
 def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token hashes.
     (``hash_fn="md5_60"`` computes a 60-bit variant over the SQL-expressible

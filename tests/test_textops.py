@@ -298,3 +298,31 @@ def test_ivf_prebuilt_index_matches_inline(spark, emb):
         assert key(via_index) == key(inline)
     finally:
         idx.unpersist()
+
+
+def test_dedup_components_transitive_chain(spark):
+    """a~b and b~c verified but a~c below threshold: components must still
+    merge all three (transitive closure), keeping the min doc_id."""
+    # one token changed per hop (positions far apart): token jaccard
+    # a~b = b~c = 39/41 ~= 0.951, a~c = 38/42 ~= 0.905 — a 0.93 threshold
+    # keeps the hops and drops the direct a~c edge; 8 narrow bands give the
+    # ~0.85-shingle-sim hops near-certain LSH recall
+    base = [f"tok{j}" for j in range(40)]
+    b = base.copy()
+    b[10] = "chgx"
+    c = b.copy()
+    c[30] = "chgy"
+    texts = [(10, " ".join(base)), (11, " ".join(b)), (12, " ".join(c))] + [
+        (i, " ".join(f"u{i}_{j}" for j in range(40))) for i in range(5)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = textops.dedup_pipeline(df, jaccard_threshold=0.93, bands=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (10, 11) in got and (11, 12) in got
+    assert (10, 12) not in got  # below threshold directly
+    comp = {r["doc_id"]: (r["component_id"], r["keep"])
+            for r in textops.dedup_components(pairs).collect()}
+    assert comp[10] == (10, True)
+    assert comp[11] == (10, False)
+    assert comp[12] == (10, False)  # transitivity
+    assert set(comp) == {10, 11, 12}
