@@ -2,9 +2,12 @@
 
 ``entry(spark)`` runs the flagship extraction job on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
-plus the training-data pipeline ops; ``oracle_sql()`` provides DuckDB twins
-for everything SQL-expressible (rows-only for the extraction engines and
-xxhash-based ops, per the contract).
+plus the training-data pipeline ops; ``oracle_sql()`` provides exact DuckDB
+twins for 35 of 39 queries — including the extraction engines (via the
+frozen golden corpus), the hash-based dedup ops (via the engine-portable
+md5-prefix hash), the stateful streaming dedup (via its converged state),
+and the iterative component finder (via a recursive CTE).  See
+``oracle_sql``'s docstring for the four deliberate rows-only exceptions.
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ def _sql(name: str):
     return runner
 
 
-# --- extraction pipeline (rows-only: the engines are not SQL-expressible) ---
+# --- extraction pipeline (oracle-checked against the frozen golden corpus) --
 
 
 def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,8 +60,7 @@ def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact input tests/fixtures/golden/articles.jsonl was frozen from —
     so the DuckDB oracle can replay the non-SQL-expressible engines as a
     projection of the golden file.  ``sf_dir`` is deliberately unused here;
-    the sf-scaled cascade runs as extract_metrics / extract_with_rules_join
-    (rows-only) and bench.py."""
+    the sf-scaled cascade runs in entry() and bench.py."""
     pages = pages_df(spark, "/root/testdata/sf0.001")
     articles = run_extract(spark, pages)
     return articles.select(
