@@ -326,3 +326,19 @@ def test_dedup_components_transitive_chain(spark):
     assert comp[11] == (10, False)
     assert comp[12] == (10, False)  # transitivity
     assert set(comp) == {10, 11, 12}
+
+
+def test_dedup_components_partition_invariant(spark, docs):
+    """Iterative CC must be deterministic regardless of input partitioning
+    (min-aggregation is order-insensitive; labels converge to the same
+    fixpoint)."""
+    d = docs.limit(200)
+    def run(df):
+        rows = textops.dedup_components(
+            textops.dedup_pipeline(df, hash_fn="md5_60")
+        ).collect()
+        return sorted((r["doc_id"], r["component_id"], r["keep"]) for r in rows)
+    ref = run(d)
+    assert ref  # fixture corpus plants duplicates
+    assert run(d.repartition(1)) == ref
+    assert run(d.repartition(7)) == ref
