@@ -728,23 +728,19 @@ ORDER BY host
 # queries() entry runs the Spark cascade over that same input — so the
 # driver's DuckDB side just projects the golden file.  Explicit column types
 # stop read_json from inferring 'date' as a DATE.
-DUCK_SQL["extract_cascade"] = """
-SELECT url, title, "date", method, error,
-       CAST(len(images) AS BIGINT) AS n_images,
-       CAST(length(text) AS BIGINT) AS text_len
-FROM read_json('/root/repo/tests/fixtures/golden/articles.jsonl',
-               format = 'newline_delimited',
-               columns = {url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR',
-                          method: 'VARCHAR', error: 'VARCHAR',
-                          images: 'VARCHAR[]', text: 'VARCHAR'})
-ORDER BY url
-"""
-
 _GOLDEN_VIEW = """read_json('/root/repo/tests/fixtures/golden/articles.jsonl',
                format = 'newline_delimited',
                columns = {url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR',
                           method: 'VARCHAR', error: 'VARCHAR',
                           images: 'VARCHAR[]', text: 'VARCHAR'})"""
+
+DUCK_SQL["extract_cascade"] = f"""
+SELECT url, title, "date", method, error,
+       CAST(len(images) AS BIGINT) AS n_images,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM {_GOLDEN_VIEW}
+ORDER BY url
+"""
 
 # rules path must reproduce the frozen cascade byte-for-byte
 DUCK_SQL["extract_with_rules_join"] = DUCK_SQL["extract_cascade"]

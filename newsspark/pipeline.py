@@ -124,7 +124,7 @@ def run_extract(
             site_rules.select(
                 "host_pattern", "body_selector", "title_selector"
             ).collect(),
-            key=lambda r: (-len(r["host_pattern"] or ""), r["host_pattern"]),
+            key=lambda r: (-len(r["host_pattern"] or ""), r["host_pattern"] or ""),
         )
         if not rule_rows:  # empty dim table: no rule ever matches
             rule_rows = [

@@ -190,19 +190,23 @@ def dedup_minhash_lsh(
     return pairs
 
 
-def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over verified duplicate pairs -> the canonical
     keep list: every doc in a duplicate cluster gets ``component_id`` = the
     cluster's min doc_id; ``keep`` marks the representative.  Docs with no
     duplicates never enter the edge set and are implicitly kept.
 
     Iterative min-label propagation: each round joins labels to the
-    symmetric edge list and takes the per-vertex min — converging in
-    O(log diameter) rounds (near-dup clusters have tiny diameters, so
-    the alternating star tricks of large-graph CC are unnecessary).  Each
-    round is one shuffle join + one aggregation; labels are persisted and
-    the loop exits on a converged-count action.  At 10^12 docs the edge
-    set is only the verified-duplicate subset, not the corpus."""
+    symmetric edge list and takes the per-vertex min — one-hop
+    propagation, so convergence takes O(diameter) rounds (near-dup
+    clusters have tiny diameters, so the alternating-star / pointer-
+    doubling tricks of large-graph CC are unnecessary).  Each round is
+    one shuffle join + one aggregation; labels are persisted and the loop
+    exits on a converged-count action.  Raises RuntimeError if a cluster
+    is still unconverged after ``max_iters`` — silently emitting split
+    components would diverge from the exact transitive-closure oracle.
+    At 10^12 docs the edge set is only the verified-duplicate subset,
+    not the corpus."""
     edges = pairs.select("doc_a", "doc_b")
     sym = edges.unionByName(
         edges.select(
@@ -216,6 +220,7 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iters):
         neigh = sym.join(
             labels, sym["doc_b"] == labels["doc_id"]
@@ -239,7 +244,14 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        sym.unpersist()
+        raise RuntimeError(
+            f"dedup_components did not converge within {max_iters} rounds "
+            "(a duplicate cluster has a larger diameter); raise max_iters"
+        )
     out = labels.select(
         "doc_id",
         F.col("component").alias("component_id"),
@@ -460,8 +472,6 @@ def ivf_train(
     so float partial-aggregate merge-order jitter (shuffle-fetch order is not
     deterministic) cannot flip a borderline argmin between runs; empty cells
     keep their previous centroid."""
-    import numpy as np
-
     first = emb.select("embedding").first()
     dim = len(first["embedding"])
 
