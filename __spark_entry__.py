@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship extraction job on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
 plus the training-data pipeline ops; ``oracle_sql()`` provides exact DuckDB
-twins for 35 of 39 queries — including the extraction engines (via the
+twins for 37 of 41 queries — including the extraction engines (via the
 frozen golden corpus), the hash-based dedup ops (via the engine-portable
 md5-prefix hash), the stateful streaming dedup (via its converged state),
 and the iterative component finder (via a recursive CTE).  See
@@ -138,6 +138,43 @@ def _media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ann_bruteforce_topk(emb, n_queries=5, k=3)
 
 
+def _extract_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-connector end-to-end: the golden corpus serialized to WARC
+    files (Common Crawl's native format), re-read with the distributed
+    one-task-per-file WARC scanner, extracted, and checked against the same
+    golden oracle as extract_cascade — the full archive-in/articles-out
+    path, driver-verified."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from newsspark.pages import pages_pdf
+    from newsspark.warc import read_warc, write_warc
+
+    docs = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' "
+        "order by doc_id"
+    ).fetchall()
+    pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs])
+    root = tempfile.mkdtemp(prefix="newsspark_warc_")
+    paths = []
+    for i in range(8):
+        part = pdf.iloc[i::8]
+        path = f"{root}/part-{i:02d}.warc"
+        write_warc(path, zip(part["url"], part["warc_ts"], part["html"]))
+        paths.append(path)
+    articles = run_extract(spark, read_warc(spark, paths))
+    out = articles.select(
+        "url", "title", "date", "method", "error",
+        F.size("images").cast("long").alias("n_images"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    rows = out.collect()  # materialize so the temp WARC dir can be removed
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming url-dedup (applyInPandasWithState) driven to
     completion with availableNow over two synthetic crawl waves (docs 0-199
@@ -201,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_cascade": _extract_cascade,
         "extract_metrics": _extract_metrics,
         "extract_with_rules_join": _extract_with_rules_join,
+        "extract_from_warc": _extract_from_warc,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
         "media_decode": _media_decode,
         "media_frame_sample": _media_frame_sample,
@@ -224,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _sql("lang_id"),
         "quality_score": _sql("quality_score"),
         "pii_scrub": _sql("pii_scrub"),
+        "decontaminate": _sql("decontaminate"),
         "repetition_stats": _sql("repetition_stats"),
         "passage_chunks": _sql("passage_chunks"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
@@ -263,7 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 35 of 39 queries.  The engines themselves are oracled
+    """DuckDB twins — 37 of 41 queries.  The engines themselves are oracled
     through fixed points (the frozen golden corpus for extract_*, the
     media-generator case table for media_decode/frame_sample, the converged
     state for stream_dedup_urls); the hash-based dedup ops run the
@@ -277,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_cascade",
         "extract_metrics",
         "extract_with_rules_join",
+        "extract_from_warc",
         "media_decode",
         "media_frame_sample",
         "length_gate",
@@ -293,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id",
         "quality_score",
         "pii_scrub",
+        "decontaminate",
         "repetition_stats",
         "passage_chunks",
         "ann_bruteforce_topk",

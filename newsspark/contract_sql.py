@@ -542,6 +542,62 @@ ORDER BY doc_id, chunk_id
 """,
 )
 
+# --- n-gram decontamination (train/eval overlap check) ------------------------
+# The GPT-3-style decontamination shape: flag training documents sharing any
+# 5-token shingle with the benchmark/eval set (here: docs 0..9 stand in as
+# the eval set; the corpus is everyone else).  Scale shape: the eval shingle
+# set is small -> broadcast semi-join against the corpus shingles; one
+# shuffle on the corpus side only.
+_SHINGLE5_SPARK = (
+    "CASE WHEN size(tokens) >= 5 THEN "
+    "transform(sequence(0, size(tokens) - 5), "
+    "i -> concat_ws(' ', slice(tokens, i + 1, 5))) "
+    "ELSE array(concat_ws(' ', tokens)) END"
+)
+_SHINGLE5_DUCK = (
+    "CASE WHEN len(tokens) >= 5 THEN "
+    "list_transform(range(1, len(tokens) - 3), "
+    "i -> array_to_string(list_slice(tokens, i, i + 4), ' ')) "
+    "ELSE [array_to_string(tokens, ' ')] END"
+)
+_dual(
+    "decontaminate",
+    f"""
+SELECT c.doc_id,
+       CAST(count(b.sh) AS BIGINT) AS n_contaminated_ngrams,
+       count(b.sh) > 0 AS contaminated
+FROM (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, explode({_SHINGLE5_SPARK}) AS sh
+    FROM (SELECT doc_id, {_TOK_SPARK} AS tokens FROM documents
+          WHERE doc_id >= 10))
+  GROUP BY doc_id, sh) c
+LEFT JOIN (
+  SELECT DISTINCT explode({_SHINGLE5_SPARK}) AS sh
+  FROM (SELECT {_TOK_SPARK} AS tokens FROM documents WHERE doc_id < 10)) b
+  ON c.sh = b.sh
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+    f"""
+SELECT c.doc_id,
+       CAST(count(b.sh) AS BIGINT) AS n_contaminated_ngrams,
+       count(b.sh) > 0 AS contaminated
+FROM (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, unnest({_SHINGLE5_DUCK}) AS sh
+    FROM (SELECT doc_id, {_TOK_DUCK} AS tokens FROM documents
+          WHERE doc_id >= 10) a) u
+  GROUP BY doc_id, sh) c
+LEFT JOIN (
+  SELECT DISTINCT unnest({_SHINGLE5_DUCK}) AS sh
+  FROM (SELECT {_TOK_DUCK} AS tokens FROM documents WHERE doc_id < 10) a2) b
+  ON c.sh = b.sh
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+
 # --- similarity search oracle ------------------------------------------------
 _dual(
     "ann_bruteforce_topk",
@@ -742,8 +798,10 @@ FROM {_GOLDEN_VIEW}
 ORDER BY url
 """
 
-# rules path must reproduce the frozen cascade byte-for-byte
+# rules path and the WARC source path must both reproduce the frozen
+# cascade byte-for-byte
 DUCK_SQL["extract_with_rules_join"] = DUCK_SQL["extract_cascade"]
+DUCK_SQL["extract_from_warc"] = DUCK_SQL["extract_cascade"]
 
 DUCK_SQL["extract_metrics"] = f"""
 SELECT method,

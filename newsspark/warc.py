@@ -1,0 +1,126 @@
+"""Minimal WARC 1.0 source/sink — Common Crawl's native archive format.
+
+The reference consumes live HTTP responses (extractor.py:32-44); the batch
+analog of "a crawl" is a directory of WARC files, so this module provides:
+
+- ``write_warc(path, records)``: serialize (url, warc_ts, html) triples as
+  WARC *response* records with correct Content-Length framing and an
+  embedded HTTP/1.1 response head (the Common Crawl layout).  Used by tests
+  and fixture generation; deterministic (record ids derive from the url,
+  no RNG/clock).
+- ``read_warc(spark, paths)``: distributed reader — ONE TASK PER FILE, the
+  canonical Common-Crawl processing grain (WARC members are gzip-framed or
+  length-framed and not block-splittable, so CC pipelines parallelize
+  across the ~1 GB files, not within them).  Each task runs the pure-stdlib
+  record scanner below and emits the pages schema ``(url, warc_ts,
+  html binary)`` ready for ``pipeline.run_extract``.
+
+Scale notes: the file listing is a tiny driver-side array (CC publishes
+~70k warc paths per crawl); payload bytes stay in one Arrow column end to
+end; a corrupt record raises within its file's task and fails ONLY that
+file — pair with run_with_checkpoint-style lineage for resume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+
+def _warc_date(ts: datetime) -> str:
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def write_warc(path: str, records: Iterable[Tuple[str, datetime, bytes]]) -> int:
+    """Write records as WARC/1.0 response members; returns the count.
+    Record ids are md5(url)-derived urns — deterministic by design."""
+    n = 0
+    with open(path, "wb") as f:
+        for url, ts, html in records:
+            html = html if html is not None else b""
+            http_head = (
+                b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Type: text/html" + _CRLF
+                + f"Content-Length: {len(html)}".encode() + _CRLF + _CRLF
+            )
+            block = http_head + html
+            rid = hashlib.md5(url.encode("utf-8")).hexdigest()
+            head = (
+                b"WARC/1.0" + _CRLF
+                + b"WARC-Type: response" + _CRLF
+                + f"WARC-Record-ID: <urn:md5:{rid}>".encode() + _CRLF
+                + f"WARC-Date: {_warc_date(ts)}".encode() + _CRLF
+                + f"WARC-Target-URI: {url}".encode() + _CRLF
+                + b"Content-Type: application/http; msgtype=response" + _CRLF
+                + f"Content-Length: {len(block)}".encode() + _CRLF + _CRLF
+            )
+            f.write(head + block + _CRLF + _CRLF)
+            n += 1
+    return n
+
+
+def _parse_warc_stream(f: io.BufferedReader) -> Iterator[dict]:
+    """Sequential record scanner: header block -> Content-Length payload ->
+    record separator.  Skips non-response records (warcinfo, request, ...)."""
+    while True:
+        line = f.readline()
+        if not line:
+            return
+        if line.strip() == b"":  # inter-record padding
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line, got {line[:40]!r}")
+        headers = {}
+        while True:
+            h = f.readline()
+            if h in (_CRLF, b"\n", b""):
+                break
+            name, _, value = h.partition(b":")
+            headers[name.strip().lower()] = value.strip()
+        length = int(headers.get(b"content-length", b"0"))
+        block = f.read(length)
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8")
+        date = headers.get(b"warc-date", b"").decode("ascii")
+        # strip the embedded HTTP response head
+        sep = block.find(_CRLF + _CRLF)
+        html = block[sep + 4:] if sep >= 0 else block
+        yield {
+            "url": url,
+            "warc_ts": datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ"),
+            "html": html,
+        }
+
+
+def read_warc_file(path: str) -> List[dict]:
+    with open(path, "rb") as f:
+        return list(_parse_warc_stream(f))
+
+
+def read_warc(spark: SparkSession, paths: List[str]) -> DataFrame:
+    """Distributed WARC scan: one file per task (repartition to the file
+    count), parsed executor-side via mapInPandas — the driver only ever
+    holds the path list."""
+    pdf = pd.DataFrame({"path": list(paths)})
+    files = spark.createDataFrame(pdf).repartition(max(len(paths), 1), "path")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p in b["path"]:
+                rows = read_warc_file(p)
+                if rows:
+                    yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+    return files.mapInPandas(scan, schema=WARC_PAGES_SCHEMA)

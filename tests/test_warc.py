@@ -1,0 +1,81 @@
+"""WARC source/sink: byte-exact round trip, distributed scan grain, and
+extraction parity with the direct pages path."""
+from datetime import datetime
+
+import pytest
+
+from newsspark.pages import pages_pdf
+from newsspark.warc import read_warc, read_warc_file, write_warc
+
+
+@pytest.fixture()
+def corpus(tiny_docs):
+    pdf = pages_pdf(
+        [d for d, _ in tiny_docs[:60]], [t for _, t in tiny_docs[:60]]
+    )
+    return pdf
+
+
+def test_warc_roundtrip_byte_exact(tmp_path, corpus):
+    path = str(tmp_path / "a.warc")
+    n = write_warc(
+        path, zip(corpus["url"], corpus["warc_ts"], corpus["html"])
+    )
+    rows = read_warc_file(path)
+    assert n == len(rows) == len(corpus)
+    by_url = {r["url"]: r for r in rows}
+    for _, rec in corpus.iterrows():
+        got = by_url[rec["url"]]
+        assert bytes(got["html"]) == bytes(rec["html"] or b"")  # byte-exact
+        assert got["warc_ts"] == rec["warc_ts"].to_pydatetime().replace(
+            tzinfo=None
+        )
+
+
+def test_warc_empty_html_record(tmp_path):
+    path = str(tmp_path / "e.warc")
+    write_warc(path, [("https://x.com/a", datetime(2026, 1, 1), b"")])
+    rows = read_warc_file(path)
+    assert rows[0]["html"] == b"" and rows[0]["url"] == "https://x.com/a"
+
+
+def test_warc_distributed_read_one_task_per_file(spark, tmp_path, corpus):
+    paths = []
+    for i in range(4):
+        part = corpus.iloc[i::4]
+        p = str(tmp_path / f"part-{i}.warc")
+        write_warc(p, zip(part["url"], part["warc_ts"], part["html"]))
+        paths.append(p)
+    df = read_warc(spark, paths)
+    assert df.rdd.getNumPartitions() == 4  # the CC per-file grain
+    assert df.count() == len(corpus)
+
+
+def test_warc_extraction_matches_direct_pages(spark, tmp_path, corpus):
+    from newsspark.pipeline import run_extract
+
+    paths = []
+    for i in range(3):
+        part = corpus.iloc[i::3]
+        p = str(tmp_path / f"w-{i}.warc")
+        write_warc(p, zip(part["url"], part["warc_ts"], part["html"]))
+        paths.append(p)
+    via_warc = {
+        r["url"]: r
+        for r in run_extract(spark, read_warc(spark, paths),
+                             num_partitions=4).collect()
+    }
+    direct_pages = spark.createDataFrame(
+        corpus[["url", "html"]], "url string, html binary"
+    )
+    direct = {
+        r["url"]: r
+        for r in run_extract(spark, direct_pages, num_partitions=4).collect()
+    }
+    assert set(via_warc) == set(direct)
+    for url in direct:
+        for f in ("title", "text", "date", "method", "error"):
+            assert via_warc[url][f] == direct[url][f], (url, f)
+        assert list(via_warc[url]["images"] or []) == list(
+            direct[url]["images"] or []
+        )
