@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship extraction job on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
 plus the training-data pipeline ops; ``oracle_sql()`` provides exact DuckDB
-twins for 37 of 41 queries — including the extraction engines (via the
+twins for 38 of 42 queries — including the extraction engines (via the
 frozen golden corpus), the hash-based dedup ops (via the engine-portable
 md5-prefix hash), the stateful streaming dedup (via its converged state),
 and the iterative component finder (via a recursive CTE).  See
@@ -138,6 +138,23 @@ def _media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ann_bruteforce_topk(emb, n_queries=5, k=3)
 
 
+def _api_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 payload parity: serialize each extracted article the way the
+    reference's HTTP endpoint does (compact JSON, non-ASCII verbatim,
+    nulls explicit) and hash-compare the BYTES against DuckDB rebuilding
+    the same payload from the golden corpus."""
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    articles = run_extract(spark, pages)
+    return articles.select(
+        "url",
+        F.to_json(
+            F.struct("url", "title", "text", "date", "images", "method",
+                     "error"),
+            {"ignoreNullFields": "false"},
+        ).alias("payload"),
+    )
+
+
 def _extract_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-connector end-to-end: the golden corpus serialized to WARC
     files (Common Crawl's native format), re-read with the distributed
@@ -239,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _extract_metrics,
         "extract_with_rules_join": _extract_with_rules_join,
         "extract_from_warc": _extract_from_warc,
+        "api_payload_json": _api_payload_json,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
         "media_decode": _media_decode,
         "media_frame_sample": _media_frame_sample,
@@ -302,7 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 37 of 41 queries.  The engines themselves are oracled
+    """DuckDB twins — 38 of 42 queries.  The engines themselves are oracled
     through fixed points (the frozen golden corpus for extract_*, the
     media-generator case table for media_decode/frame_sample, the converged
     state for stream_dedup_urls); the hash-based dedup ops run the
@@ -317,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_metrics",
         "extract_with_rules_join",
         "extract_from_warc",
+        "api_payload_json",
         "media_decode",
         "media_frame_sample",
         "length_gate",

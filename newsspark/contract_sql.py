@@ -803,6 +803,22 @@ ORDER BY url
 DUCK_SQL["extract_with_rules_join"] = DUCK_SQL["extract_cascade"]
 DUCK_SQL["extract_from_warc"] = DUCK_SQL["extract_cascade"]
 
+# A4 payload parity: the reference serializes each article as JSON with
+# ensure_ascii=False (main.py:642-644); Spark's to_json(ignoreNullFields=
+# false) and DuckDB's to_json(struct_pack(...)) produce byte-identical
+# compact JSON (probed: Korean text, newlines, quotes, backslashes, control
+# chars, emoji, nulls, empty arrays all match), so the API payload itself
+# is oracle-checked against the golden corpus.
+DUCK_SQL["api_payload_json"] = f"""
+SELECT url,
+       CAST(to_json(struct_pack(
+         url := url, title := title, text := text, "date" := "date",
+         images := images, method := method, error := error)) AS VARCHAR)
+         AS payload
+FROM {_GOLDEN_VIEW}
+ORDER BY url
+"""
+
 DUCK_SQL["extract_metrics"] = f"""
 SELECT method,
        CAST(count(*) AS BIGINT) AS n_rows,
