@@ -3,11 +3,11 @@
 ``entry(spark)`` runs the flagship extraction job on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
 plus the training-data pipeline ops; ``oracle_sql()`` provides exact DuckDB
-twins for 38 of 42 queries — including the extraction engines (via the
+twins for 40 of 42 queries — including the extraction engines (via the
 frozen golden corpus), the hash-based dedup ops (via the engine-portable
 md5-prefix hash), the stateful streaming dedup (via its converged state),
 and the iterative component finder (via a recursive CTE).  See
-``oracle_sql``'s docstring for the four deliberate rows-only exceptions.
+``oracle_sql``'s docstring for the two deliberate rows-only exceptions.
 """
 
 from __future__ import annotations
@@ -285,6 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_chunks": _sql("passage_chunks"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
         "dedup_embedding_cosine": _sql("dedup_embedding_cosine"),
+        # hyperplane LSH: deterministic float64 plane literals + the oracle
+        # folds dot products in Spark's exact operation order, so even this
+        # float-bucketed op hash-matches (rank cast: row_number is INT)
+        "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)).withColumn(
+            "rank", F.col("rank").cast("long")
+        ),
         # hash-based dedup ops: driver entries run hash_fn="md5_60" (the
         # engine-portable md5-prefix hash) so DuckDB can replay shingling,
         # minhash, banding, and simhash votes exactly; the xxhash64
@@ -300,7 +306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textops.dedup_pipeline(_docs(s, d), hash_fn="md5_60")
         ),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d), hash_fn="md5_60"),
-        "ann_lsh_topk": lambda s, d: textops.ann_lsh_topk(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: textops.ann_ivf_topk(_emb(s, d)),
         "dedup_embedding_cosine_lsh": lambda s, d: textops.dedup_embedding_cosine(
             _emb(s, d), threshold=0.45, use_lsh=True
@@ -320,16 +325,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 38 of 42 queries.  The engines themselves are oracled
+    """DuckDB twins — 40 of 42 queries.  The engines themselves are oracled
     through fixed points (the frozen golden corpus for extract_*, the
     media-generator case table for media_decode/frame_sample, the converged
     state for stream_dedup_urls); the hash-based dedup ops run the
-    engine-portable md5_60 hash.  The 4 omitted keys are rows-only,
-    deliberately: media_embed_ann's vectors and the ann_lsh / ann_ivf /
-    embedding-cosine-LSH buckets depend on LCG byte streams or float models
-    (literal hyperplanes, trained centroids) that SQL replay cannot
-    reproduce robustly — each is recall-tested against an oracled exact
-    baseline in pytest instead."""
+    engine-portable md5_60 hash.  The 2 omitted keys are rows-only,
+    deliberately: media_embed_ann's vectors derive from an LCG byte stream
+    SQL cannot replay, and ann_ivf_topk's trained centroids come from
+    shuffle-order-dependent float averaging (rounded for run-to-run
+    stability, but not engine-portable) — each is recall-tested against an
+    oracled exact baseline in pytest instead.  (The hyperplane-LSH ops ARE
+    oracled: their plane literals are deterministic and the oracle folds
+    dot products in Spark's exact IEEE operation order.)"""
     oracle_names = [
         "extract_cascade",
         "extract_metrics",
@@ -357,11 +364,13 @@ def oracle_sql() -> dict[str, str]:
         "passage_chunks",
         "ann_bruteforce_topk",
         "dedup_embedding_cosine",
+        "ann_lsh_topk",
         "dedup_minhash_lsh",
         "dedup_pipeline",
         "dedup_components",
         "simhash64",
         "stream_dedup_urls",
+        "dedup_embedding_cosine_lsh",
         "url_canonicalize",
         "host_stats",
         "host_distinct_stats",

@@ -645,6 +645,95 @@ ORDER BY query_id, rank
 """,
 )
 
+# --- multi-probe hyperplane-LSH ANN oracle -------------------------------------
+# The hyperplanes are deterministic md5-derived float64 LITERALS, and the
+# bucket sign computation below folds the dot product in the SAME sequential
+# order as Spark's aggregate() — identical IEEE operations, so bucket
+# assignments match bit-for-bit (probed: 500/500 at sf0.001).  Scoring and
+# ranking reuse the proven bruteforce-oracle formulation.
+
+
+def _lsh_plane_literal(p: int, dim: int = 64) -> str:
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        digest = hashlib.md5(f"plane{p}_{j}".encode()).digest()
+        vals.append(repr(int.from_bytes(digest[:4], "big") / 2**31 - 1.0))
+    return "[" + ", ".join(vals) + "]"
+
+
+def _lsh_bucket_duck(vec: str, n_planes: int = 8) -> str:
+    def dot(p):
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(CAST({vec} AS DOUBLE[]), "
+            f"{_lsh_plane_literal(p)}), x -> x[1] * x[2])), "
+            "(acc, v) -> acc + v)"
+        )
+
+    return " | ".join(
+        f"(CAST(CASE WHEN {dot(p)} >= 0 THEN 1 ELSE 0 END AS BIGINT) "
+        f"<< {n_planes - 1 - p})"
+        for p in range(n_planes)
+    )
+
+
+DUCK_SQL["ann_lsh_topk"] = f"""
+WITH tagged AS (
+  SELECT vec_id, embedding, {_lsh_bucket_duck('embedding')} AS bucket
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         unnest([CAST(0 AS BIGINT), {", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(8))}]) AS off
+  FROM tagged WHERE vec_id < 10
+), q AS (
+  SELECT p.query_id, p.qe, xor(t.bucket, p.off) AS qbucket
+  FROM probes p JOIN tagged t ON t.vec_id = p.query_id
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+  FROM q JOIN tagged e
+    ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(sim, 6) AS cos_sim
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) s
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+# LSH-bucketed near-dup pairs: same exact-bucket-parity technique, 6 planes
+# + Hamming-1 multi-probe, pair set deduplicated, rounded-sim threshold.
+DUCK_SQL["dedup_embedding_cosine_lsh"] = f"""
+WITH tagged AS (
+  SELECT vec_id, embedding, {_lsh_bucket_duck('embedding', 6)} AS bucket
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS vb, embedding AS eb,
+         unnest([bucket, {", ".join(f"xor(bucket, CAST({1 << i} AS BIGINT))" for i in range(6))}]) AS pbucket
+  FROM tagged
+), pairs AS (
+  SELECT DISTINCT t.vec_id AS vec_a, t.embedding AS ea, p.vb AS vec_b, p.eb
+  FROM tagged t JOIN probes p
+    ON t.bucket = p.pbucket AND t.vec_id < p.vb
+)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT vec_a, vec_b,
+         round(list_dot_product(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(ea AS DOUBLE[]), CAST(ea AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(eb AS DOUBLE[]), CAST(eb AS DOUBLE[])))), 6) AS cos_sim
+  FROM pairs) s
+WHERE cos_sim >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
 # --- relational demonstrations (TPC-H-shaped) ---------------------------------
 _both(
     "tpch_pricing_summary",
