@@ -175,20 +175,22 @@ def _extract_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fetchall()
     pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs])
     root = tempfile.mkdtemp(prefix="newsspark_warc_")
-    paths = []
-    for i in range(8):
-        part = pdf.iloc[i::8]
-        path = f"{root}/part-{i:02d}.warc"
-        write_warc(path, zip(part["url"], part["warc_ts"], part["html"]))
-        paths.append(path)
-    articles = run_extract(spark, read_warc(spark, paths))
-    out = articles.select(
-        "url", "title", "date", "method", "error",
-        F.size("images").cast("long").alias("n_images"),
-        F.length("text").cast("long").alias("text_len"),
-    )
-    rows = out.collect()  # materialize so the temp WARC dir can be removed
-    shutil.rmtree(root, ignore_errors=True)
+    try:
+        paths = []
+        for i in range(8):
+            part = pdf.iloc[i::8]
+            path = f"{root}/part-{i:02d}.warc.gz"
+            write_warc(path, zip(part["url"], part["warc_ts"], part["html"]))
+            paths.append(path)
+        articles = run_extract(spark, read_warc(spark, paths))
+        out = articles.select(
+            "url", "title", "date", "method", "error",
+            F.size("images").cast("long").alias("n_images"),
+            F.length("text").cast("long").alias("text_len"),
+        )
+        rows = out.collect()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -209,36 +211,38 @@ def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "where doc_id < 300 order by doc_id"
     ).fetchall()
     root = tempfile.mkdtemp(prefix="newsspark_stream_dedup_")
-    pages_dir, out_dir, ckpt = f"{root}/pages", f"{root}/out", f"{root}/ckpt"
-    for lo, hi in ((0, 200), (100, 300)):
-        wave = [(d, t) for d, t in docs if lo <= d < hi]
-        pdf = pages_pdf([d for d, _ in wave], [t for _, t in wave])
-        spark.createDataFrame(
-            pdf[["url", "warc_ts", "html", "text", "lang", "archetype"]]
-        ).write.mode("append").parquet(pages_dir)
-    q = stream_dedup_urls(
-        spark, pages_dir, out_dir, ckpt, max_files_per_trigger=64
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("stream_dedup_urls did not drain within 600s")
-    # per-url FINAL state (batching-invariant: the raw change feed's row
-    # count depends on micro-batch boundaries; the converged state doesn't).
-    # Materialized (tiny: one row per url) so the temp corpus/checkpoint can
-    # be deleted before returning the lazy DataFrame.
-    result = (
-        spark.read.parquet(out_dir)
-        .groupBy("url")
-        .agg(
-            F.max("n_dropped").alias("n_dropped"),
-            F.sum(F.when(F.col("first_seen"), 1).otherwise(0)).alias(
-                "n_first_rows"
-            ),
+    try:
+        pages_dir, out_dir, ckpt = f"{root}/pages", f"{root}/out", f"{root}/ckpt"
+        for lo, hi in ((0, 200), (100, 300)):
+            wave = [(d, t) for d, t in docs if lo <= d < hi]
+            pdf = pages_pdf([d for d, _ in wave], [t for _, t in wave])
+            spark.createDataFrame(
+                pdf[["url", "warc_ts", "html", "text", "lang", "archetype"]]
+            ).write.mode("append").parquet(pages_dir)
+        q = stream_dedup_urls(
+            spark, pages_dir, out_dir, ckpt, max_files_per_trigger=64
         )
-        .orderBy("url")
-    )
-    rows = result.collect()
-    shutil.rmtree(root, ignore_errors=True)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_dedup_urls did not drain within 600s")
+        # per-url FINAL state (batching-invariant: the raw change feed's row
+        # count depends on micro-batch boundaries; the converged state
+        # doesn't).  Materialized (tiny: one row per url) so the temp
+        # corpus/checkpoint can be deleted before returning.
+        result = (
+            spark.read.parquet(out_dir)
+            .groupBy("url")
+            .agg(
+                F.max("n_dropped").alias("n_dropped"),
+                F.sum(F.when(F.col("first_seen"), 1).otherwise(0)).alias(
+                    "n_first_rows"
+                ),
+            )
+            .orderBy("url")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema).orderBy("url")
 
 

@@ -654,13 +654,15 @@ ORDER BY query_id, rank
 
 
 def _lsh_plane_literal(p: int, dim: int = 64) -> str:
-    import hashlib
+    # one source of truth for the plane constants: textops.lsh_plane_component
+    # feeds both the Spark bucket expressions and these oracle literals
+    from newsspark.textops import lsh_plane_component
 
-    vals = []
-    for j in range(dim):
-        digest = hashlib.md5(f"plane{p}_{j}".encode()).digest()
-        vals.append(repr(int.from_bytes(digest[:4], "big") / 2**31 - 1.0))
-    return "[" + ", ".join(vals) + "]"
+    return (
+        "["
+        + ", ".join(repr(lsh_plane_component(p, j)) for j in range(dim))
+        + "]"
+    )
 
 
 def _lsh_bucket_duck(vec: str, n_planes: int = 8) -> str:

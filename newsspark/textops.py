@@ -389,6 +389,17 @@ def ann_bruteforce_topk(
     return _cosine_topk(scored, k)
 
 
+def lsh_plane_component(p: int, j: int) -> float:
+    """Component j of deterministic hyperplane p, in [-1, 1): md5-derived,
+    no RNG state.  SHARED between the Spark bucket expressions and the
+    DuckDB oracle literals (contract_sql) — edit here and both sides move
+    together."""
+    import hashlib
+
+    digest = hashlib.md5(f"plane{p}_{j}".encode()).digest()
+    return int.from_bytes(digest[:4], "big") / 2**31 - 1.0
+
+
 def ann_lsh_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8
 ) -> DataFrame:
@@ -399,22 +410,7 @@ def ann_lsh_topk(
     single-probe loses on near-orthogonal data).  At 10^9 vectors the
     broadcast bucket join replaces the full cross product: cost is
     O(n x (n_planes+1) / 2^n_planes) candidate pairs."""
-    from pyspark.sql import Window
-
-    import hashlib
-
-    dim = 64  # embeddings table dimension (TESTDATA)
-
-    def plane_component(p: int, j: int) -> float:
-        # deterministic pseudo-random in [-1, 1): no RNG state, no
-        # per-row hashing at execution time (planes are literal constants)
-        digest = hashlib.md5(f"plane{p}_{j}".encode()).digest()
-        return int.from_bytes(digest[:4], "big") / 2**31 - 1.0
-
-    planes = [
-        F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
-        for p in range(n_planes)
-    ]
+    planes = _lsh_planes(n_planes)
 
     def bucket_of(vec_col):
         bucket = F.lit(0).cast("long")
@@ -740,14 +736,10 @@ def dedup_embedding_cosine(
 
 
 def _lsh_planes(n_planes: int, dim: int = 64):
-    import hashlib
-
-    def comp(p, j):
-        digest = hashlib.md5(f"plane{p}_{j}".encode()).digest()
-        return int.from_bytes(digest[:4], "big") / 2**31 - 1.0
-
-    return [F.array(*[F.lit(comp(p, j)) for j in range(dim)])
-            for p in range(n_planes)]
+    return [
+        F.array(*[F.lit(lsh_plane_component(p, j)) for j in range(dim)])
+        for p in range(n_planes)
+    ]
 
 
 def _bucket_expr(vec_col, planes):

@@ -23,6 +23,7 @@ file — pair with run_with_checkpoint-style lineage for resume.
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 import io
 from datetime import datetime, timezone
@@ -44,9 +45,11 @@ def _warc_date(ts: datetime) -> str:
 
 def write_warc(path: str, records: Iterable[Tuple[str, datetime, bytes]]) -> int:
     """Write records as WARC/1.0 response members; returns the count.
-    Record ids are md5(url)-derived urns — deterministic by design."""
+    Record ids are md5(url)-derived urns — deterministic by design.
+    A ``.gz`` suffix writes gzip-compressed output (the CC layout)."""
     n = 0
-    with open(path, "wb") as f:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
         for url, ts, html in records:
             html = html if html is not None else b""
             http_head = (
@@ -90,6 +93,11 @@ def _parse_warc_stream(f: io.BufferedReader) -> Iterator[dict]:
             headers[name.strip().lower()] = value.strip()
         length = int(headers.get(b"content-length", b"0"))
         block = f.read(length)
+        if len(block) != length:
+            raise ValueError(
+                f"truncated WARC record: expected {length} payload bytes, "
+                f"got {len(block)}"
+            )
         if headers.get(b"warc-type") != b"response":
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8")
@@ -104,23 +112,53 @@ def _parse_warc_stream(f: io.BufferedReader) -> Iterator[dict]:
         }
 
 
+def _open_warc(path: str):
+    """Open plain or gzip-member WARC (real Common Crawl files are
+    *.warc.gz) — sniffed by magic bytes, not the filename."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f)
+    return f
+
+
+def iter_warc_file(path: str) -> Iterator[dict]:
+    with _open_warc(path) as f:
+        yield from _parse_warc_stream(f)
+
+
 def read_warc_file(path: str) -> List[dict]:
-    with open(path, "rb") as f:
-        return list(_parse_warc_stream(f))
+    return list(iter_warc_file(path))
 
 
-def read_warc(spark: SparkSession, paths: List[str]) -> DataFrame:
-    """Distributed WARC scan: one file per task (repartition to the file
-    count), parsed executor-side via mapInPandas — the driver only ever
-    holds the path list."""
-    pdf = pd.DataFrame({"path": list(paths)})
-    files = spark.createDataFrame(pdf).repartition(max(len(paths), 1), "path")
+def read_warc(
+    spark: SparkSession, paths: List[str], chunk_records: int = 256
+) -> DataFrame:
+    """Distributed WARC scan: EXACTLY one file per task (the path list is
+    parallelized with one slice per path — a hash repartition would collide
+    files into shared tasks), parsed executor-side via mapInPandas.  Records
+    stream out in ``chunk_records`` batches so a ~1 GB file never
+    materializes in worker memory at once; the driver only ever holds the
+    path list."""
+    paths = list(paths)
+    rdd = spark.sparkContext.parallelize(
+        [(p,) for p in paths], numSlices=max(len(paths), 1)
+    )
+    files = spark.createDataFrame(rdd, "path string")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for p in b["path"]:
-                rows = read_warc_file(p)
-                if rows:
-                    yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+                buf: List[dict] = []
+                for rec in iter_warc_file(p):
+                    buf.append(rec)
+                    if len(buf) >= chunk_records:
+                        yield pd.DataFrame(
+                            buf, columns=["url", "warc_ts", "html"]
+                        )
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=["url", "warc_ts", "html"])
 
     return files.mapInPandas(scan, schema=WARC_PAGES_SCHEMA)

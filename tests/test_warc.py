@@ -40,15 +40,40 @@ def test_warc_empty_html_record(tmp_path):
 
 
 def test_warc_distributed_read_one_task_per_file(spark, tmp_path, corpus):
+    expected_sizes = []
     paths = []
     for i in range(4):
         part = corpus.iloc[i::4]
         p = str(tmp_path / f"part-{i}.warc")
         write_warc(p, zip(part["url"], part["warc_ts"], part["html"]))
         paths.append(p)
+        expected_sizes.append(len(part))
     df = read_warc(spark, paths)
     assert df.rdd.getNumPartitions() == 4  # the CC per-file grain
+    # the r1-review bug: hash repartition collided files into shared tasks
+    # while other tasks sat empty — assert EXACTLY one file per partition
+    sizes = sorted(len(p) for p in df.rdd.glom().collect())
+    assert sizes == sorted(expected_sizes), sizes
     assert df.count() == len(corpus)
+
+
+def test_warc_gzip_roundtrip(tmp_path, corpus):
+    path = str(tmp_path / "a.warc.gz")
+    part = corpus.iloc[:20]
+    n = write_warc(path, zip(part["url"], part["warc_ts"], part["html"]))
+    rows = read_warc_file(path)  # magic-byte sniffed, not extension
+    assert n == len(rows) == 20
+    assert {r["url"] for r in rows} == set(part["url"])
+
+
+def test_warc_truncated_file_fails_loudly(tmp_path, corpus):
+    path = str(tmp_path / "t.warc")
+    part = corpus.iloc[:10]
+    write_warc(path, zip(part["url"], part["warc_ts"], part["html"]))
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) - len(data) // 3])
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        read_warc_file(path)
 
 
 def test_warc_extraction_matches_direct_pages(spark, tmp_path, corpus):
