@@ -131,15 +131,73 @@ def minhash_signatures(
 def dedup_minhash_lsh(
     docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     hash_fn: str = "xxhash64",
+    pre_dedup_exact: bool = True, max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs: docs sharing any band bucket.
+    Convenience wrapper over :func:`minhash_lsh_candidates` returning only
+    the pair set; callers that must account for sidelined oversized buckets
+    (any serious 100 TB run) should use the full form."""
+    pairs, _ = minhash_lsh_candidates(
+        docs, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn,
+        pre_dedup_exact=pre_dedup_exact, max_bucket=max_bucket,
+    )
+    return pairs
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+    hash_fn: str = "xxhash64",
+    pre_dedup_exact: bool = True, max_bucket: int | None = 1000,
+) -> tuple:
+    """MinHash + banded LSH candidate pairs with the two web-scale bounds.
+    Returns ``(pairs, oversized_buckets)``.
 
     Plan shape: one narrow map computing signatures, explode to (band,
-    band_key) — the ONLY shuffle is the groupBy on band keys; candidate pairs
-    come from within-bucket combinations, so cost is O(bucket²) only where
-    collisions exist (the LSH guarantee), never O(n²)."""
+    band_key) — the ONLY shuffle of document-grain rows is the groupBy on
+    band keys; candidate pairs come from within-bucket combinations, so cost
+    is O(bucket²) only where collisions exist (the LSH guarantee), never
+    O(n²).
+
+    Two guards make "O(bucket²) where collisions exist" safe on a real web
+    corpus, where boilerplate/mirror clusters reach 10^5-10^6 members:
+
+    - ``pre_dedup_exact``: collapse byte-identical texts to one
+      representative (min doc_id per md5) BEFORE MinHash.  Identical docs
+      share every band key, so without this a B-member identical cluster is
+      a B-row bucket in all ``bands`` bands -> O(B²) pairs.  The cluster is
+      re-emitted as B-1 STAR edges (representative, member) instead: the
+      transitive closure — what dedup actually consumes via
+      :func:`dedup_components` — is unchanged, with O(B) edges, and star
+      edges verify at jaccard exactly 1.0 in :func:`dedup_pipeline`.  Also a
+      throughput win: near-dup signatures are computed once per distinct
+      text.
+    - ``max_bucket``: buckets still larger than this after the exact
+      pre-pass (template/boilerplate near-dup clusters) are SIDELINED to the
+      returned quarantine DataFrame ``(band, band_key, n_ids)`` instead of
+      exploded into pairs.  The size check is a count aggregation (map-side
+      partial, shuffles only per-key counts) that anti-join-filters the
+      banded rows BEFORE collect_set, so an oversized bucket never
+      materializes a giant id array in any single task.  A doc in an
+      oversized bucket can still pair through its other bands.
+
+    ``pre_dedup_exact=False, max_bucket=None`` reproduces the unguarded
+    candidate semantics exactly (pytest pins this on the standard corpus)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes=n_hashes, hash_fn=hash_fn)
+    base = docs
+    star = None
+    if pre_dedup_exact:
+        keyed = docs.select("doc_id", "text").withColumn(
+            "_th", F.md5(F.col("text"))
+        )
+        reps = keyed.groupBy("_th").agg(F.min("doc_id").alias("_rep"))
+        tagged = keyed.join(reps, "_th")
+        base = tagged.where(F.col("doc_id") == F.col("_rep")).select(
+            "doc_id", "text"
+        )
+        star = tagged.where(F.col("doc_id") != F.col("_rep")).select(
+            F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    sig = minhash_signatures(base, n_hashes=n_hashes, hash_fn=hash_fn)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -161,6 +219,24 @@ def dedup_minhash_lsh(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
+    spark = docs.sparkSession
+    if max_bucket is not None:
+        # count first (cheap: partial-aggregates map-side, the shuffle
+        # carries one row per band key), sideline oversized keys, and only
+        # THEN collect ids — no mega-bucket array ever forms in one task
+        sized = banded.groupBy("band", "band_key").agg(
+            F.count("*").alias("n_ids")
+        )
+        oversized = sized.where(F.col("n_ids") > max_bucket)
+        banded = banded.join(
+            oversized.select("band", "band_key"),
+            ["band", "band_key"],
+            "left_anti",
+        )
+    else:
+        oversized = spark.createDataFrame(
+            [], "band int, band_key long, n_ids long"
+        )
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -184,10 +260,11 @@ def dedup_minhash_lsh(
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
     )
-    return pairs
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct().orderBy("doc_a", "doc_b")
+    return pairs, oversized.orderBy("band", "band_key")
 
 
 def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
@@ -755,12 +832,19 @@ def _bucket_expr(vec_col, planes):
 def dedup_pipeline(
     docs: DataFrame, jaccard_threshold: float = 0.8,
     n_hashes: int = 16, bands: int = 4, hash_fn: str = "xxhash64",
+    pre_dedup_exact: bool = True, max_bucket: int | None = 1000,
 ) -> DataFrame:
     """End-to-end near-dup dedup: MinHash+LSH candidate generation followed
     by exact token-set Jaccard verification of ONLY the candidate pairs —
     the standard two-phase shape that makes 10^12-document dedup tractable
-    (verify cost is proportional to collisions, never O(n²))."""
-    cands = dedup_minhash_lsh(docs, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn)
+    (verify cost is proportional to collisions, never O(n²)).  The exact
+    pre-pass / bucket cap guards of :func:`minhash_lsh_candidates` apply;
+    exact-dup star edges verify at jaccard exactly 1.0 (identical token
+    sets), so they always survive the threshold."""
+    cands = dedup_minhash_lsh(
+        docs, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn,
+        pre_dedup_exact=pre_dedup_exact, max_bucket=max_bucket,
+    )
     tsets = with_tokens(docs).select(
         "doc_id", F.array_distinct("tokens").alias("tset")
     )
