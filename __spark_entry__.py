@@ -310,7 +310,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textops.dedup_pipeline(_docs(s, d), hash_fn="md5_60")
         ),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d), hash_fn="md5_60"),
-        "ann_ivf_topk": lambda s, d: textops.ann_ivf_topk(_emb(s, d)),
+        # IVF: the driver entry runs the fixed-centroid oracle twin
+        # (deterministic md5-derived centroid literals + sequential-fold
+        # assignment — DuckDB replays assign/probe/rank exactly); the
+        # trained-k-means production path (ivf_train/ivf_index/ann_ivf_topk)
+        # is recall-pinned in tests/test_textops.py and benched in bench.py
+        "ann_ivf_topk": lambda s, d: textops.ann_ivf_topk_fixed(
+            _emb(s, d)
+        ).withColumn("rank", F.col("rank").cast("long")),
         "dedup_embedding_cosine_lsh": lambda s, d: textops.dedup_embedding_cosine(
             _emb(s, d), threshold=0.45, use_lsh=True
         ),
@@ -373,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline",
         "dedup_components",
         "simhash64",
+        "ann_ivf_topk",
         "stream_dedup_urls",
         "dedup_embedding_cosine_lsh",
         "url_canonicalize",

@@ -711,6 +711,76 @@ WHERE rank <= 5
 ORDER BY query_id, rank
 """
 
+# --- fixed-centroid IVF ANN oracle -------------------------------------------
+# ann_ivf_topk's driver entry runs textops.ann_ivf_topk_fixed: deterministic
+# md5-derived centroid LITERALS (textops.ivf_fixed_centroid_component — the
+# single source of truth for both engines) and sequential-fold assignment
+# scores, so DuckDB replays assign -> probe -> cosine-rank exactly.  ||c||²
+# is precomputed in Python and injected as a literal into BOTH engines so
+# neither re-derives it with its own summation order.  The trained-k-means
+# production path (ivf_train/ivf_index/ann_ivf_topk) stays recall-pinned in
+# pytest.
+
+
+def _ivf_cents_values(n_centroids: int = 16, dim: int = 64) -> str:
+    from newsspark.textops import (
+        ivf_fixed_centroid_component,
+        ivf_fixed_centroid_sq,
+    )
+
+    rows = []
+    for c in range(n_centroids):
+        vec = ", ".join(
+            repr(ivf_fixed_centroid_component(c, j)) for j in range(dim)
+        )
+        rows.append(
+            f"({c}, CAST([{vec}] AS DOUBLE[]), "
+            f"CAST({ivf_fixed_centroid_sq(c, dim)!r} AS DOUBLE))"
+        )
+    return ",\n    ".join(rows)
+
+
+DUCK_SQL["ann_ivf_topk"] = f"""
+WITH cents(cell, cv, c_sq) AS (
+  VALUES
+    {_ivf_cents_values()}
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         c.c_sq - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+                            x -> x[1] * x[2])), (acc, v) -> acc + v) AS score
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score ASC, cell ASC) AS rn
+    FROM scored) s WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, cell AS qcell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score ASC, cell ASC) AS rn
+    FROM scored WHERE vec_id < 10) s WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, p.qe, a.vec_id AS neighbor_id, a.embedding AS ne,
+         list_dot_product(CAST(p.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(p.qe AS DOUBLE[]), CAST(p.qe AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))) AS sim
+  FROM assigned a JOIN probes p
+    ON a.cell = p.qcell AND a.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(sim, 6) AS cos_sim
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cand) s
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
 # LSH-bucketed near-dup pairs: same exact-bucket-parity technique, 6 planes
 # + Hamming-1 multi-probe, pair set deduplicated, rounded-sim threshold.
 DUCK_SQL["dedup_embedding_cosine_lsh"] = f"""

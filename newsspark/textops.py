@@ -671,6 +671,98 @@ def ann_ivf_topk(
     return _cosine_topk(cand, k)
 
 
+def ivf_fixed_centroid_component(c: int, j: int) -> float:
+    """Component j of deterministic IVF centroid c: md5-derived, no RNG
+    state, scaled by 1/8 (an exact binary scale) so the centroid cloud sits
+    inside the embedding table's component range (±0.5) and the 16 cells all
+    attract members.  SHARED between the Spark fixed-IVF expressions and the
+    DuckDB oracle literals (contract_sql) — edit here and both sides move
+    together (the ``lsh_plane_component`` pattern)."""
+    import hashlib
+
+    digest = hashlib.md5(f"ivfcent{c}_{j}".encode()).digest()
+    return (int.from_bytes(digest[:4], "big") / 2**31 - 1.0) / 8.0
+
+
+def ivf_fixed_centroid_sq(c: int, dim: int = 64) -> float:
+    """||centroid c||² accumulated in ascending-j order — computed ONCE here
+    in Python and injected as a literal into BOTH engines, so neither engine
+    re-derives it with its own summation order."""
+    s = 0.0
+    for j in range(dim):
+        v = ivf_fixed_centroid_component(c, j)
+        s += v * v
+    return s
+
+
+def _ivf_fixed_scores(vec_col, n_centroids: int = 16, dim: int = 64):
+    """array<struct<score,cell>> of L2 scores against the fixed centroids:
+    score = ||c||² - 2·(x·c) (the ||x||² term is constant per row and cannot
+    change the argmin).  The dot product folds SEQUENTIALLY via aggregate()
+    — identical IEEE operation order to the DuckDB oracle's list_reduce — so
+    cell assignments match bit-for-bit across engines."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(ivf_fixed_centroid_sq(c, dim))
+                    - F.lit(2.0)
+                    * _dot(
+                        vec_col,
+                        F.array(
+                            *[
+                                F.lit(ivf_fixed_centroid_component(c, j))
+                                for j in range(dim)
+                            ]
+                        ),
+                    )
+                ).alias("score"),
+                F.lit(c).alias("cell"),
+            )
+            for c in range(n_centroids)
+        ]
+    )
+
+
+def ann_ivf_topk_fixed(
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    n_centroids: int = 16, n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN over FIXED deterministic centroids — the oracle-portable
+    twin of :func:`ann_ivf_topk`.  Same assign -> probe -> cosine-rank
+    semantics, but the coarse quantizer is a literal md5-derived centroid
+    table instead of trained k-means, and assignment scores fold
+    sequentially, so DuckDB replays the whole search exactly (the
+    ``lsh_plane_component`` trick, VERDICT r2 #2).
+
+    This is the CORRECTNESS artifact: plan size is O(K·dim) literals and the
+    per-row scoring is interpreted HOFs, both fine for a fixture-scale
+    contract check.  Production searches use :func:`ann_ivf_topk` (trained
+    centroids, numpy-matmul pandas UDF, plan O(1) in K), whose recall is
+    pinned against brute force in tests/test_textops.py."""
+    scores = _ivf_fixed_scores(F.col("embedding"), n_centroids)
+    # struct ordering is lexicographic: min score, ties on lowest cell id —
+    # the same (score ASC, cell ASC) rule as the oracle's row_number
+    assigned = emb.select(
+        "vec_id", "embedding", F.array_min(scores)["cell"].alias("cell")
+    )
+    probes = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.explode(F.slice(F.array_sort(scores), 1, n_probe)).alias("ps"),
+        )
+        .select("query_id", "q", F.col("ps.cell").alias("qcell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    return _cosine_topk(cand, k)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -407,3 +407,26 @@ def test_lsh_guards_are_noop_on_standard_corpus(spark, docs):
         ).collect()
     }
     assert guarded == unguarded and len(guarded) > 0
+
+
+def test_ivf_fixed_variant_matches_production_path_on_same_centroids(spark, emb):
+    """ann_ivf_topk_fixed (oracle twin: HOF sequential-fold scoring) must
+    return exactly what the production numpy-matmul path returns when fed
+    the same fixed centroid model — pins the two implementations to one
+    semantics, and pins a sane recall floor vs oracled brute force."""
+    import numpy as np
+
+    cents = np.array(
+        [[textops.ivf_fixed_centroid_component(c, j) for j in range(64)]
+         for c in range(16)]
+    )
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in rows
+    )
+    fixed = key(textops.ann_ivf_topk_fixed(emb).collect())
+    prod = key(textops.ann_ivf_topk(emb, model=cents).collect())
+    assert fixed == prod
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in textops.ann_bruteforce_topk(emb).collect()}
+    fx = {(q, n) for q, _, n, _ in fixed}
+    assert len(bf & fx) / len(bf) >= 0.4  # 4/16 probes, untrained quantizer
