@@ -2,12 +2,13 @@
 
 ``entry(spark)`` runs the flagship extraction job on sf0.001;
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
-plus the training-data pipeline ops; ``oracle_sql()`` provides exact DuckDB
-twins for 40 of 42 queries — including the extraction engines (via the
+plus the training-data pipeline ops; ``oracle_sql()`` provides an exact
+DuckDB twin for EVERY query — including the extraction engines (via the
 frozen golden corpus), the hash-based dedup ops (via the engine-portable
 md5-prefix hash), the stateful streaming dedup (via its converged state),
-and the iterative component finder (via a recursive CTE).  See
-``oracle_sql``'s docstring for the two deliberate rows-only exceptions.
+the iterative component finder (via a recursive CTE), and the float-model
+ANN searches (via deterministic literal models + IEEE-order folds, plus a
+frozen embedding fixture for the multimodal path).
 """
 
 from __future__ import annotations
@@ -126,16 +127,24 @@ def _media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal -> similarity-search integration: embed payloads, then
-    brute-force cosine top-k over the resulting vectors."""
+    """Multimodal -> similarity-search integration: embed payloads live
+    (mapInPandas over binary Arrow), then brute-force cosine top-k over the
+    resulting vectors.  Oracle-checked via the frozen-fixture trick: runs
+    over the FIXED sf0.001 media table (``sf_dir`` deliberately unused, like
+    extract_cascade) whose embed_media output is frozen to
+    tests/fixtures/golden/media_embeddings.jsonl; DuckDB recomputes the
+    top-k from the frozen vectors, so the live embed + ANN path is
+    hash-checked end to end."""
     from newsspark.multimodal import embed_media, media_df
 
     emb = (
-        embed_media(media_df(spark, sf_dir))
+        embed_media(media_df(spark, "/root/testdata/sf0.001"))
         .where("error is null")
         .selectExpr("media_id as vec_id", "embedding")
     )
-    return textops.ann_bruteforce_topk(emb, n_queries=5, k=3)
+    return textops.ann_bruteforce_topk(emb, n_queries=5, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def _api_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,18 +345,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — 40 of 42 queries.  The engines themselves are oracled
+    """DuckDB twins — EVERY query.  The engines themselves are oracled
     through fixed points (the frozen golden corpus for extract_*, the
-    media-generator case table for media_decode/frame_sample, the converged
-    state for stream_dedup_urls); the hash-based dedup ops run the
-    engine-portable md5_60 hash.  The 2 omitted keys are rows-only,
-    deliberately: media_embed_ann's vectors derive from an LCG byte stream
-    SQL cannot replay, and ann_ivf_topk's trained centroids come from
-    shuffle-order-dependent float averaging (rounded for run-to-run
-    stability, but not engine-portable) — each is recall-tested against an
-    oracled exact baseline in pytest instead.  (The hyperplane-LSH ops ARE
-    oracled: their plane literals are deterministic and the oracle folds
-    dot products in Spark's exact IEEE operation order.)"""
+    media-generator case table for media_decode/frame_sample, the frozen
+    embedding fixture for media_embed_ann, the converged state for
+    stream_dedup_urls); the hash-based dedup ops run the engine-portable
+    md5_60 hash; the float-model ANN ops run deterministic literal models
+    (hyperplane literals for ann_lsh_topk, fixed md5-derived centroids for
+    ann_ivf_topk) whose oracles fold dot products in Spark's exact IEEE
+    operation order — the trained-k-means IVF stays the production path,
+    recall-pinned in pytest."""
     oracle_names = [
         "extract_cascade",
         "extract_metrics",
@@ -356,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "api_payload_json",
         "media_decode",
         "media_frame_sample",
+        "media_embed_ann",
         "length_gate",
         "method_join",
         "date_coalesce",

@@ -26,8 +26,17 @@ H1 (clean_text_lines) — the SQL-expressible projections of the extraction
 semantics, exercised over the ``documents`` table per FIXTURES.md §5.
 """
 
+import os as _os
+
 SPARK_SQL: dict = {}
 DUCK_SQL: dict = {}
+
+# fixture paths derived from this file's location, not a hardcoded checkout
+# root (ADVICE r2: the oracles must survive a relocated clone)
+_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests", "fixtures", "golden",
+)
 
 
 def _both(name: str, sql: str) -> None:
@@ -945,11 +954,11 @@ ORDER BY host
 # queries() entry runs the Spark cascade over that same input — so the
 # driver's DuckDB side just projects the golden file.  Explicit column types
 # stop read_json from inferring 'date' as a DATE.
-_GOLDEN_VIEW = """read_json('/root/repo/tests/fixtures/golden/articles.jsonl',
+_GOLDEN_VIEW = f"""read_json('{_os.path.join(_FIXTURE_DIR, "articles.jsonl")}',
                format = 'newline_delimited',
-               columns = {url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR',
+               columns = {{url: 'VARCHAR', title: 'VARCHAR', date: 'VARCHAR',
                           method: 'VARCHAR', error: 'VARCHAR',
-                          images: 'VARCHAR[]', text: 'VARCHAR'})"""
+                          images: 'VARCHAR[]', text: 'VARCHAR'}})"""
 
 DUCK_SQL["extract_cascade"] = f"""
 SELECT url, title, "date", method, error,
@@ -1052,6 +1061,37 @@ SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
 FROM vids, unnest(range(0, nf, 24)) AS t(f)
 WHERE v5 <> 2
 ORDER BY media_id, frame_idx
+"""
+
+# --- multimodal embed -> ANN: oracled via a frozen embedding fixture --------
+# embed_media's vectors derive from an LCG byte stream SQL cannot replay, but
+# they are a deterministic fixed point — so they get the golden-corpus trick:
+# scripts/freeze_media_embeddings.py freezes embed_media(media_df(sf0.001))
+# to jsonl (float32 components serialized as exact doubles), pytest pins the
+# live output to the fixture, and DuckDB recomputes brute-force cosine top-k
+# from the frozen vectors (same rank/tie/round rules as ann_bruteforce_topk).
+_MEDIA_EMB_VIEW = f"""read_json('{_os.path.join(_FIXTURE_DIR, "media_embeddings.jsonl")}',
+               format = 'newline_delimited',
+               columns = {{vec_id: 'BIGINT', embedding: 'DOUBLE[]'}})"""
+
+DUCK_SQL["media_embed_ann"] = f"""
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(sim, 6) AS cos_sim
+FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qe, e.embedding)
+         / (sqrt(list_dot_product(q.qe, q.qe))
+            * sqrt(list_dot_product(e.embedding, e.embedding))) AS sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_dot_product(q.qe, e.embedding)
+                                     / (sqrt(list_dot_product(q.qe, q.qe))
+                                        * sqrt(list_dot_product(e.embedding, e.embedding))) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM (SELECT vec_id AS query_id, embedding AS qe FROM {_MEDIA_EMB_VIEW}
+        WHERE vec_id < 5) q
+  JOIN {_MEDIA_EMB_VIEW} e ON e.vec_id <> q.query_id) s
+WHERE rank <= 3
+ORDER BY query_id, rank
 """
 
 # --- streaming url-dedup: the CONVERGED state is a pure function of doc_id --

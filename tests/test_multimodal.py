@@ -141,3 +141,29 @@ def test_embeddings_normalized_and_ann_compatible(spark, media):
     )
     top = textops.ann_bruteforce_topk(vecs, n_queries=3, k=2).collect()
     assert len(top) == 6
+
+
+def test_embed_media_matches_frozen_fixture(spark, media):
+    """The media_embed_ann driver oracle recomputes top-k from
+    tests/fixtures/golden/media_embeddings.jsonl; this pins the LIVE
+    embed_media output to that fixture so any embedding drift is caught
+    before the driver gate.  Deliberate spec moves re-freeze via
+    scripts/freeze_media_embeddings.py."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "golden", "media_embeddings.jsonl",
+    )
+    frozen = {}
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            frozen[r["vec_id"]] = r["embedding"]
+    live = {
+        r["media_id"]: [float(v) for v in r["embedding"]]
+        for r in embed_media(media).where("error is null").collect()
+    }
+    assert set(live) == set(frozen)
+    assert live == frozen  # exact float32-widened doubles, no tolerance
