@@ -231,46 +231,66 @@ def extract_run(
     snapshot_id: str = "",
 ) -> dict:
     """The one-call replacement for the reference's HTTP endpoints
-    (SURVEY.md §3.2): pages in -> four tables out under ``out_dir``:
+    (SURVEY.md §3.2): pages in -> three tables out under ``out_dir``:
 
-      articles/    successful rows (error IS NULL)
-      quarantine/  failed rows with the error message (the HTTP-500 analog)
+      extracted/   ALL rows, written ONCE, partitioned by ``status``
+                   (``status=ok`` = successful articles, ``status=failed`` =
+                   the quarantine / HTTP-500 analog); read a partition
+                   subdirectory directly to get just that slice
       metrics/     per-method row counts / failure counts / text mass
       lineage/     one row for this run (run_id, snapshot, counts, wall_ms)
 
-    Returns a summary dict."""
+    The extracted rows are written exactly once (VERDICT r2: the previous
+    _all + filtered-rewrite layout wrote the dominant artifact 3x — at
+    100 TB that is 2x redundant write I/O); partition pruning on ``status``
+    gives consumers the same articles/quarantine split for free.  Run totals
+    come from the (tiny) collected metrics table, not a second full-data
+    aggregation.  ``snapshot_id`` defaults to the ParquetCatalog
+    content-address of the committed dataset so lineage always records a
+    real, verifiable snapshot (the Iceberg-snapshot analog).
+
+    Returns a summary dict including the articles/quarantine paths."""
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     result = run_extract(
         spark, pages, num_partitions=num_partitions, site_rules=site_rules
     )
     result = result.withColumn("published_ts", derive_published_ts(F.col("date")))
-    result.write.mode("overwrite").parquet(f"{out_dir}/_all")
-    all_rows = spark.read.parquet(f"{out_dir}/_all")
-    all_rows.where(F.col("error").isNull()).write.mode("overwrite").parquet(
-        f"{out_dir}/articles"
+    result = result.withColumn(
+        "status", F.when(F.col("error").isNull(), "ok").otherwise("failed")
     )
-    all_rows.where(F.col("error").isNotNull()).write.mode("overwrite").parquet(
-        f"{out_dir}/quarantine"
+    result.write.mode("overwrite").partitionBy("status").parquet(
+        f"{out_dir}/extracted"
     )
-    method_metrics(all_rows).write.mode("overwrite").parquet(f"{out_dir}/metrics")
-    stats = all_rows.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
-    ).collect()[0]
+    extracted = spark.read.parquet(f"{out_dir}/extracted")
+    metric_rows = method_metrics(extracted).collect()
+    spark.createDataFrame(
+        metric_rows, "method string, n_rows long, n_failed long, text_chars long"
+    ).write.mode("overwrite").parquet(f"{out_dir}/metrics")
+    n = sum(int(r["n_rows"]) for r in metric_rows)
+    f = sum(int(r["n_failed"] or 0) for r in metric_rows)
+    if not snapshot_id:
+        from .catalog import ParquetCatalog
+
+        snapshot_id = ParquetCatalog(out_dir).snapshot_id("extracted")
     wall_ms = int((time.time() - t0) * 1000)
+    # bucket/n_buckets are NULL for the unbucketed whole-table run: a 0
+    # sentinel would trip completed_buckets' n_buckets consistency check if
+    # this lineage dir were ever reused by run_with_checkpoint (ADVICE r2)
     lineage_row = [
-        (run_id, -1, 0, snapshot_id, int(stats["n"]), int(stats["f"] or 0),
-         wall_ms, "ok")
+        (run_id, None, None, snapshot_id, n, f, wall_ms, "ok")
     ]
     spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).write.mode(
         "append"
     ).parquet(f"{out_dir}/lineage")
     return {
         "run_id": run_id,
-        "n_rows": int(stats["n"]),
-        "n_failed": int(stats["f"] or 0),
+        "n_rows": n,
+        "n_failed": f,
         "wall_ms": wall_ms,
+        "snapshot_id": snapshot_id,
+        "articles_path": f"{out_dir}/extracted/status=ok",
+        "quarantine_path": f"{out_dir}/extracted/status=failed",
     }
 
 
@@ -342,8 +362,17 @@ def run_with_checkpoint(
     every bucket already marked ok.  On a real cluster the bucket loop is N
     independent jobs whose scans prune to one hash range each — the same
     anti-join-the-done-work shape works against Iceberg snapshot ids.
+
+    Each lineage row records a real ``snapshot_id``: the caller's (e.g. the
+    Iceberg snapshot of the INPUT pages table this run reads), or — when not
+    given — the ParquetCatalog content-address of the bucket's committed
+    output, so an acknowledged bucket is verifiable against what is actually
+    on disk.
     """
+    from .catalog import ParquetCatalog
+
     run_id = uuid.uuid4().hex[:12]
+    cat = ParquetCatalog(out_dir)
     done = completed_buckets(spark, lineage_dir, n_buckets=n_buckets)
     bucket_col = F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     pages_b = pages.withColumn("__bucket", bucket_col)
@@ -360,7 +389,8 @@ def run_with_checkpoint(
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
         ).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
-        row = [(run_id, b, n_buckets, snapshot_id, int(stats["n"]),
+        bucket_snap = snapshot_id or cat.snapshot_id(f"bucket={b}")
+        row = [(run_id, b, n_buckets, bucket_snap, int(stats["n"]),
                 int(stats["f"] or 0), wall_ms, "ok")]
         spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(
             lineage_dir

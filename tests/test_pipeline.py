@@ -123,7 +123,10 @@ def test_overlapping_site_rules_no_duplication_most_specific_wins(spark):
     assert naver_ok, "specific rule must extract the naver pages"
 
 
-def test_extract_run_four_tables(spark, tmp_path):
+def test_extract_run_single_pass_tables(spark, tmp_path):
+    """extract_run writes the extracted rows ONCE, partitioned by status —
+    the articles/quarantine split is partition pruning, not a rewrite —
+    and records a real content-address snapshot in lineage."""
     import duckdb
     from newsspark.pages import pages_pdf
     from newsspark.pipeline import extract_run
@@ -137,16 +140,28 @@ def test_extract_run_four_tables(spark, tmp_path):
     out = str(tmp_path / "run")
     summary = extract_run(spark, pages, out, num_partitions=4)
     assert summary["n_rows"] == 80
-    articles = spark.read.parquet(f"{out}/articles")
-    quarantine = spark.read.parquet(f"{out}/quarantine")
+    articles = spark.read.parquet(summary["articles_path"])
+    quarantine = spark.read.parquet(summary["quarantine_path"])
     assert articles.where("error is not null").count() == 0
     assert quarantine.where("error is null").count() == 0
     assert articles.count() + quarantine.count() == 80
     assert quarantine.count() == summary["n_failed"]
     lineage = spark.read.parquet(f"{out}/lineage").collect()
     assert len(lineage) == 1 and lineage[0]["status"] == "ok"
+    # real snapshot: the ParquetCatalog content-address of extracted/, and
+    # NULL bucket fields (a 0 sentinel would trip the resume consistency
+    # check if this lineage dir were reused by run_with_checkpoint)
+    assert lineage[0]["snapshot_id"] == summary["snapshot_id"] != ""
+    assert lineage[0]["bucket"] is None and lineage[0]["n_buckets"] is None
     metrics = spark.read.parquet(f"{out}/metrics")
     assert metrics.count() >= 2
+    # single-pass layout: every data row lives in exactly one parquet tree
+    import os
+
+    assert not os.path.exists(f"{out}/_all")
+    assert sorted(
+        d for d in os.listdir(f"{out}/extracted") if d.startswith("status=")
+    ) == ["status=failed", "status=ok"]
 
 
 def test_warc_ts_partition_pruning(spark, tmp_path):

@@ -50,6 +50,13 @@ def test_kill_and_resume_identical_output(spark, tiny_docs, tmp_path):
     lineage = spark.read.parquet(part_lineage).collect()
     assert len(lineage) == 4
     assert len({r["run_id"] for r in lineage}) == 2  # two distinct runs
+    # every acknowledged bucket carries a real snapshot: the ParquetCatalog
+    # content-address of its committed output (VERDICT r2 #8)
+    from newsspark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(part_dir)
+    for r in lineage:
+        assert r["snapshot_id"] == cat.snapshot_id(f"bucket={r['bucket']}") != ""
 
 
 def test_resume_with_different_n_buckets_is_refused(spark, tiny_docs, tmp_path):
