@@ -38,6 +38,13 @@ WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
 
 
 def _warc_date(ts: datetime) -> str:
+    if ts.microsecond:
+        # WARC-Date here is second-precision (WARC 1.0's uuri grammar); a
+        # silent truncate would break the documented byte-exact round trip,
+        # so fractional timestamps are an explicit caller error (ADVICE r2)
+        raise ValueError(
+            f"warc_ts must be second-precision, got microsecond={ts.microsecond}"
+        )
     if ts.tzinfo is None:
         ts = ts.replace(tzinfo=timezone.utc)
     return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
@@ -114,13 +121,15 @@ def _parse_warc_stream(f: io.BufferedReader) -> Iterator[dict]:
 
 def _open_warc(path: str):
     """Open plain or gzip-member WARC (real Common Crawl files are
-    *.warc.gz) — sniffed by magic bytes, not the filename."""
-    f = open(path, "rb")
-    magic = f.read(2)
-    f.seek(0)
+    *.warc.gz) — sniffed by magic bytes, not the filename.  The gzip path
+    reopens by path: GzipFile.close() does not close a caller-supplied
+    fileobj, which would leak the underlying fd in long-lived executor
+    tasks scanning many files (ADVICE r2)."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
     if magic == b"\x1f\x8b":
-        return gzip.open(f)
-    return f
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
 def iter_warc_file(path: str) -> Iterator[dict]:
@@ -132,6 +141,29 @@ def read_warc_file(path: str) -> List[dict]:
     return list(iter_warc_file(path))
 
 
+def _scan_chunks(
+    paths: Iterable[str], chunk_records: int
+) -> Iterator[pd.DataFrame]:
+    """Per-file streaming scan: yields pandas chunks of AT MOST
+    ``chunk_records`` rows, so worker memory is bounded by chunk size no
+    matter how fat one file is (CC files vary ~10x in record count — the
+    skew unit is the file, and this is the per-task bound).  A parse error
+    is re-raised with the offending PATH so a corrupt file is identifiable
+    from the task failure alone."""
+    for p in paths:
+        buf: List[dict] = []
+        try:
+            for rec in iter_warc_file(p):
+                buf.append(rec)
+                if len(buf) >= chunk_records:
+                    yield pd.DataFrame(buf, columns=["url", "warc_ts", "html"])
+                    buf = []
+        except Exception as exc:
+            raise ValueError(f"WARC scan failed in {p}: {exc}") from exc
+        if buf:
+            yield pd.DataFrame(buf, columns=["url", "warc_ts", "html"])
+
+
 def read_warc(
     spark: SparkSession, paths: List[str], chunk_records: int = 256
 ) -> DataFrame:
@@ -140,7 +172,8 @@ def read_warc(
     files into shared tasks), parsed executor-side via mapInPandas.  Records
     stream out in ``chunk_records`` batches so a ~1 GB file never
     materializes in worker memory at once; the driver only ever holds the
-    path list."""
+    path list.  A corrupt file fails only its own task, with the path in
+    the error."""
     paths = list(paths)
     rdd = spark.sparkContext.parallelize(
         [(p,) for p in paths], numSlices=max(len(paths), 1)
@@ -149,16 +182,6 @@ def read_warc(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            for p in b["path"]:
-                buf: List[dict] = []
-                for rec in iter_warc_file(p):
-                    buf.append(rec)
-                    if len(buf) >= chunk_records:
-                        yield pd.DataFrame(
-                            buf, columns=["url", "warc_ts", "html"]
-                        )
-                        buf = []
-                if buf:
-                    yield pd.DataFrame(buf, columns=["url", "warc_ts", "html"])
+            yield from _scan_chunks(b["path"], chunk_records)
 
     return files.mapInPandas(scan, schema=WARC_PAGES_SCHEMA)

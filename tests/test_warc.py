@@ -104,3 +104,66 @@ def test_warc_extraction_matches_direct_pages(spark, tmp_path, corpus):
         assert list(via_warc[url]["images"] or []) == list(
             direct[url]["images"] or []
         )
+
+
+def test_warc_fat_file_streams_in_bounded_chunks(tmp_path, tiny_docs):
+    """CC files vary ~10x in record count; the per-file scan must stream —
+    every yielded pandas chunk is bounded by chunk_records no matter how fat
+    the file (VERDICT r2 #5)."""
+    from newsspark.warc import _scan_chunks
+
+    docs = (tiny_docs * 20)[:1000]  # one fat 1000-record file
+    pdf = pages_pdf(list(range(1000)), [t for _, t in docs])
+    path = str(tmp_path / "fat.warc.gz")
+    n = write_warc(path, zip(pdf["url"], pdf["warc_ts"], pdf["html"]))
+    assert n == 1000
+    chunks = list(_scan_chunks([path], chunk_records=64))
+    assert max(len(c) for c in chunks) <= 64
+    assert sum(len(c) for c in chunks) == 1000
+    assert len(chunks) >= 1000 // 64
+
+
+def test_warc_corrupt_file_fails_alone_with_path(spark, tmp_path, corpus):
+    """One corrupt file must fail only its own task, and the failure must
+    name the file — the other files' records are all readable without it."""
+    good = []
+    for i in range(3):
+        part = corpus.iloc[i::3]
+        p = str(tmp_path / f"ok-{i}.warc")
+        write_warc(p, zip(part["url"], part["warc_ts"], part["html"]))
+        good.append(p)
+    bad = str(tmp_path / "corrupt.warc")
+    data = open(good[0], "rb").read()
+    open(bad, "wb").write(data[: len(data) - len(data) // 3])
+    with pytest.raises(Exception, match="corrupt.warc"):
+        read_warc(spark, good + [bad]).count()
+    assert read_warc(spark, good).count() == len(corpus)
+
+
+def test_warc_rejects_fractional_timestamps(tmp_path):
+    """WARC-Date is second-precision here; silently truncating microseconds
+    would break the byte-exact round-trip contract (ADVICE r2)."""
+    with pytest.raises(ValueError, match="second-precision"):
+        write_warc(
+            str(tmp_path / "f.warc"),
+            [("https://x.com/a", datetime(2026, 1, 1, 0, 0, 0, 123), b"")],
+        )
+
+
+def test_warc_gzip_close_releases_fd(tmp_path, corpus):
+    """The gzip path must not leak the underlying fd (GzipFile.close() does
+    not close a caller-supplied fileobj — ADVICE r2: reopen by path)."""
+    import os
+
+    path = str(tmp_path / "fd.warc.gz")
+    part = corpus.iloc[:5]
+    write_warc(path, zip(part["url"], part["warc_ts"], part["html"]))
+    fd_dir = "/proc/self/fd"
+    def open_fds():
+        return {f for f in os.listdir(fd_dir)
+                if os.path.realpath(os.path.join(fd_dir, f)) == os.path.realpath(path)}
+    assert not open_fds()
+    for _ in range(5):
+        rows = read_warc_file(path)
+        assert len(rows) == 5
+    assert not open_fds()
