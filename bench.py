@@ -35,6 +35,21 @@ def _sf_tag() -> str:
     return os.path.basename(SF_DIR.rstrip("/")) or "sf"
 
 
+def _quiesce_stop(spark) -> None:
+    """Cancel stragglers and let Python-accumulator heartbeats drain before
+    tearing the session down: stopping the w32 JVM mid-heartbeat printed a
+    PythonAccumulatorV2.merge socket stack trace into the r2 bench tail —
+    benign (rc=0, timings parsed) but a polluted tail eventually masks a
+    real failure (VERDICT r2 #6)."""
+    try:
+        spark.sparkContext.cancelAllJobs()
+        time.sleep(1.0)
+    except Exception:
+        pass
+    spark.stop()
+    time.sleep(0.5)
+
+
 def ensure_pages(spark) -> str:
     from newsspark.pages import CORPUS_VERSION, pages_df
 
@@ -127,7 +142,7 @@ def main() -> None:
         # second width: extract docs/s at local[8], so width regressions show
         # up per-round without a full run_scaling.py pass (the host stops
         # scaling past ~8 busy workers — BENCH/BASELINE.md)
-        spark.stop()
+        _quiesce_stop(spark)
         from newsspark.session import get_spark as _gs
 
         spark8 = _gs(app_name="newsspark-bench-w8", cores=8,
@@ -147,7 +162,7 @@ def main() -> None:
             ).collect()[0]
             best8 = min(best8, time.time() - t0)
             assert s8["n"] == n_pages
-        spark8.stop()
+        _quiesce_stop(spark8)
         timings["extract_cascade_w8"] = round(best8, 3)
 
         # headline total excludes the w8 lane: it is extra measurement work
@@ -175,7 +190,7 @@ def main() -> None:
             )
         )
     finally:
-        spark.stop()
+        _quiesce_stop(spark)
 
 
 if __name__ == "__main__":

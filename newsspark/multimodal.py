@@ -55,17 +55,14 @@ _REAL_MAGICS = {
 
 
 def _lcg_bytes(seed: int, n: int) -> bytes:
-    """Deterministic byte stream (numpy-vectorized LCG)."""
-    out = np.empty(n, dtype=np.uint64)
-    x = np.uint64(seed * 6364136223846793005 + 1442695040888963407 & (2**64 - 1))
-    # vectorized: x_i = seed advanced i steps — use counter-based mixing instead
+    """Deterministic byte stream: numpy-vectorized counter-based mixing
+    (each byte is a pure function of (seed, index) — no sequential state)."""
     idx = np.arange(n, dtype=np.uint64)
     mixed = (idx + np.uint64(seed)) * np.uint64(6364136223846793005)
     mixed ^= mixed >> np.uint64(33)
     mixed *= np.uint64(0xFF51AFD7ED558CCD)
     mixed ^= mixed >> np.uint64(33)
-    out = (mixed & np.uint64(0xFF)).astype(np.uint8)
-    return out.tobytes()
+    return (mixed & np.uint64(0xFF)).astype(np.uint8).tobytes()
 
 
 def make_image(seed: int, width: int, height: int) -> bytes:
