@@ -255,6 +255,21 @@ def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema).orderBy("url")
 
 
+def _host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-host stats: the explicit pmod-salt -> partial -> final
+    two-phase (textops.host_stats_salted) over the same host projection as
+    host_stats.  count/sum/max are algebraic, so the salted re-bracketing
+    equals the plain aggregation — the DuckDB twin is the unsalted query;
+    the planted 90%-one-host corpus + plan-shape assertions live in
+    tests/test_textops.py."""
+    from newsspark.contract_sql import HOST_PROJECTION
+
+    hosts = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{HOST_PROJECTION} as host", "n_chars"
+    )
+    return textops.host_stats_salted(hosts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction cascade over pages synthesized from
     sf0.001 documents (url-hash repartition, size lane, error column)."""
@@ -334,6 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_urls": _stream_dedup_urls,
         "url_canonicalize": _sql("url_canonicalize"),
         "host_stats": _sql("host_stats"),
+        # explicit pmod-salt -> partial -> final two-phase over the same
+        # host projection; algebraic aggs make the unsalted SQL its oracle
+        "host_stats_salted": _host_stats_salted,
         "host_distinct_stats": _sql("host_distinct_stats"),
         "events_sessionize": _sql("events_sessionize"),
         # relational demonstrations
@@ -393,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine_lsh",
         "url_canonicalize",
         "host_stats",
+        "host_stats_salted",
         "host_distinct_stats",
         "events_sessionize",
         "tpch_pricing_summary",

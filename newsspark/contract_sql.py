@@ -947,6 +947,13 @@ ORDER BY host
 """,
 )
 
+# The SALTED variant: the queries() entry runs textops.host_stats_salted
+# (explicit pmod-salt -> partial -> final two-phase over the same host
+# projection); count/sum/max are algebraic, so the salted re-bracketing is
+# exactly the plain aggregation — the oracle IS the unsalted query.
+HOST_PROJECTION = f"regexp_extract({_HOST_SYNTH}, '^https?://([^/]+)/', 1)"
+DUCK_SQL["host_stats_salted"] = DUCK_SQL["host_stats"]
+
 # --- the extraction cascade itself, oracled via the frozen golden corpus ----
 # The engines are not SQL-expressible, but their output over the FIXED golden
 # input is: tests/fixtures/golden/articles.jsonl holds the pure-Python

@@ -921,6 +921,45 @@ def _bucket_expr(vec_col, planes):
     return bucket
 
 
+def host_stats_salted(
+    hosts: DataFrame, n_salts: int = 16
+) -> DataFrame:
+    """Per-host corpus stats via EXPLICIT two-phase salting: the hot key is
+    extended with a uniform salt (pmod of the row hash), aggregated, then
+    the salt is folded out — so shuffle 1 spreads a 90%-one-host corpus
+    across ``n_salts`` reducers and shuffle 2 carries only
+    hosts x n_salts partial rows.
+
+    Input: ``(doc_id, host, n_chars)``.  Output matches the plain
+    ``host_stats`` aggregation exactly (count/sum/max are algebraic, so
+    salting is associative re-bracketing — the DuckDB oracle twin IS the
+    unsalted query).
+
+    Scale note: for algebraic aggregates Spark's map-side partial
+    aggregation already bounds hot keys, so this explicit form is the
+    DEMONSTRATION of the pattern you need when partials don't apply —
+    exact count(DISTINCT) (see host_stats' two-level sibling
+    ``host_distinct_stats``), percentile sketches with big partial states,
+    or any agg whose partial buffer grows with the group."""
+    salted = hosts.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("host", "_salt").agg(
+        F.count("*").alias("n_docs_p"),
+        F.sum("n_chars").alias("total_chars_p"),
+        F.max("n_chars").alias("max_chars_p"),
+    )
+    return (
+        partial.groupBy("host")
+        .agg(
+            F.sum("n_docs_p").cast("long").alias("n_docs"),
+            F.sum("total_chars_p").cast("long").alias("total_chars"),
+            F.max("max_chars_p").cast("long").alias("max_chars"),
+        )
+        .orderBy("host")
+    )
+
+
 def dedup_pipeline(
     docs: DataFrame, jaccard_threshold: float = 0.8,
     n_hashes: int = 16, bands: int = 4, hash_fn: str = "xxhash64",
