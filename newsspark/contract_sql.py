@@ -19,6 +19,15 @@ Conventions that make the value-hash comparison exact:
   sum()/count()/size()/len()/row_number() in this module — scalar or windowed
   — is wrapped in an explicit CAST; timestamps in outputs go through
   CAST(... AS VARCHAR(32)) with session TZ pinned UTC.
+- ORDER BY determinism (audited r3, 2026-08-16, all 43 oracle queries):
+  every oracle's outermost ORDER BY is a TOTAL order — the sort key is a
+  unique key of the result (row id such as doc_id/url/media_id, the full
+  group-by key, a (parent, rank/idx) pair, or a deduplicated pair) — so a
+  future engine change can never flip hash equality via tied-row order.
+  One deliberate nuance: image_filter orders by (doc_id, img) where a
+  repeated img within a doc would tie, but such rows are identical in
+  every column (kept is a pure function of img), so their relative order
+  cannot affect a value hash.
 
 SURVEY.md §2 rows covered here: E2 (image_filter), F3 (url_date_parse),
 G1 (date_coalesce), C3 (dedupe_cap), C4 (method_join), B4 (length_gate),
