@@ -186,11 +186,17 @@ def minhash_lsh_candidates(
     base = docs
     star = None
     if pre_dedup_exact:
+        # one wide exchange (partitionBy the text hash) + a per-group min —
+        # measured faster than the groupBy+join formulation, which paid a
+        # second exchange for the representative table
+        from pyspark.sql import Window
+
         keyed = docs.select("doc_id", "text").withColumn(
             "_th", F.md5(F.col("text"))
         )
-        reps = keyed.groupBy("_th").agg(F.min("doc_id").alias("_rep"))
-        tagged = keyed.join(reps, "_th")
+        tagged = keyed.withColumn(
+            "_rep", F.min("doc_id").over(Window.partitionBy("_th"))
+        )
         base = tagged.where(F.col("doc_id") == F.col("_rep")).select(
             "doc_id", "text"
         )
