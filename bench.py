@@ -50,6 +50,45 @@ def _quiesce_stop(spark) -> None:
     time.sleep(0.5)
 
 
+def _w8_subprocess(pages_path: str, repeats: int = 2, cores: int = 8) -> float:
+    """Run the width-8 extraction lane in its own spark-submit JVM (the
+    run_scaling.py shape) and return the best wall seconds."""
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+    import zipfile
+
+    os.makedirs(CACHE, exist_ok=True)
+    zpath = os.path.join(CACHE, "newsspark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        pkg = os.path.join(REPO, "newsspark")
+        for name in sorted(os.listdir(pkg)):
+            if name.endswith(".py"):
+                zf.write(os.path.join(pkg, name), f"newsspark/{name}")
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    with tempfile.NamedTemporaryFile(suffix=".jsonl", mode="r") as out:
+        subprocess.run(
+            [
+                spark_submit,
+                "--master", f"local[{cores}]",
+                "--driver-memory", "20g",
+                "--py-files", zpath,
+                os.path.join(REPO, "scripts", "bench_job.py"),
+                "--cores", str(cores),
+                "--pages", pages_path,
+                "--out", out.name,
+                "--repeats", str(repeats),
+            ],
+            check=True, cwd=REPO, env=dict(os.environ),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        rec = json.loads(out.read().strip().splitlines()[-1])
+    return float(rec["wall_sec"])
+
+
 def ensure_pages(spark) -> str:
     from newsspark.pages import CORPUS_VERSION, pages_df
 
@@ -141,29 +180,14 @@ def main() -> None:
 
         # second width: extract docs/s at local[8], so width regressions show
         # up per-round without a full run_scaling.py pass (the host stops
-        # scaling past ~8 busy workers — BENCH/BASELINE.md)
+        # scaling past ~8 busy workers — BENCH/BASELINE.md).  Runs as a
+        # spark-submit --py-files SUBPROCESS (scripts/bench_job.py — the
+        # same job run_scaling.py launches; the north-rule launch shape):
+        # a second in-process session shared the JVM with the stopped w32
+        # context, and its task completions spammed dead-accumulator ERROR
+        # traces into the bench tail (r2/r3 artifact noise).
         _quiesce_stop(spark)
-        from newsspark.session import get_spark as _gs
-
-        spark8 = _gs(app_name="newsspark-bench-w8", cores=8,
-                     shuffle_partitions=8)
-        pages8 = spark8.read.parquet(pages_path)
-        best8 = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            out8 = run_extract(spark8, pages8, num_partitions=8)
-            # aggregate over every output field — count(*) alone lets
-            # Catalyst prune the (deterministic) pandas UDF entirely
-            s8 = out8.agg(
-                F.count("*").alias("n"),
-                F.sum(F.length("text")).alias("chars"),
-                F.sum(F.size("images")).alias("imgs"),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("err"),
-            ).collect()[0]
-            best8 = min(best8, time.time() - t0)
-            assert s8["n"] == n_pages
-        _quiesce_stop(spark8)
-        timings["extract_cascade_w8"] = round(best8, 3)
+        timings["extract_cascade_w8"] = _w8_subprocess(pages_path, repeats=2)
 
         # headline total excludes the w8 lane: it is extra measurement work
         # added in round 2, not a slowdown — keeping it out preserves
