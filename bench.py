@@ -133,6 +133,13 @@ def main() -> None:
             assert stats["n"] == n_pages
         timings["extract_cascade"] = round(best, 3)
 
+        # phase barrier: the 200k-page extract leaves the 24g heap full of
+        # garbage, and without an explicit collection the next several
+        # operator lanes pay its GC debt instead of measuring themselves
+        # (measured: simhash64 8-12s dirty vs 1.2-1.6s after gc+settle)
+        spark._jvm.System.gc()
+        time.sleep(5)
+
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
