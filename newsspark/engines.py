@@ -382,6 +382,16 @@ class Doc:
             merged.sort(key=lambda n: self.pos[id(n)])
             candidates = merged
         out = []
+        if len(alts) == 1:
+            # the engine vocabulary is almost all single-alternative
+            # selectors; skip the per-node any()-generator allocation
+            chain = alts[0]
+            for node in candidates:
+                if _matches_chain(node, chain):
+                    out.append(node)
+                    if limit is not None and len(out) >= limit:
+                        break
+            return out
         for node in candidates:
             if any(_matches_chain(node, chain) for chain in alts):
                 out.append(node)

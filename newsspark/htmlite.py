@@ -100,6 +100,14 @@ class Node:
     def select(self, selector: str, limit: Optional[int] = None) -> List["Node"]:
         alts = _parse_selector(selector)
         out: List[Node] = []
+        if len(alts) == 1:
+            chain = alts[0]
+            for node in self.iter_elements():
+                if _matches_chain(node, chain):
+                    out.append(node)
+                    if limit is not None and len(out) >= limit:
+                        break
+            return out
         for node in self.iter_elements():
             if any(_matches_chain(node, chain) for chain in alts):
                 out.append(node)
@@ -193,17 +201,21 @@ def _parse_selector(selector: str):
 
 
 def _matches_simple(node: Node, simple) -> bool:
+    # hot path (hundreds of calls per page): plain loops, no generator
+    # expressions, attrs dict touched directly
     tag, node_id, classes, attrs = simple
     if tag is not None and node.tag != tag:
         return False
-    if node_id is not None and node.id != node_id:
+    node_attrs = node.attrs
+    if node_id is not None and node_attrs.get("id", "") != node_id:
         return False
     if classes:
-        have = node.classes
-        if any(c not in have for c in classes):
-            return False
+        have = node_attrs.get("class", "").split()
+        for c in classes:
+            if c not in have:
+                return False
     for name, value in attrs:
-        got = node.attrs.get(name)
+        got = node_attrs.get(name)
         if got is None:
             return False
         if value is not None and got != value:
@@ -214,13 +226,12 @@ def _matches_simple(node: Node, simple) -> bool:
 def _matches_chain(node: Node, chain) -> bool:
     if not _matches_simple(node, chain[-1]):
         return False
-    remaining = chain[:-1]
-    if not remaining:
+    idx = len(chain) - 2  # remaining ancestors, rightmost first (no slice)
+    if idx < 0:
         return True
     anc = node.parent
-    idx = len(remaining) - 1
     while anc is not None and idx >= 0:
-        if anc.tag != "[document]" and _matches_simple(anc, remaining[idx]):
+        if anc.tag != "[document]" and _matches_simple(anc, chain[idx]):
             idx -= 1
         anc = anc.parent
     return idx < 0
