@@ -439,8 +439,6 @@ def _as_doc(tree, url: str) -> "Doc":
 # Shared scoring helpers
 # ---------------------------------------------------------------------------
 
-_WS_RE = re.compile(r"\s+")
-
 # Subtrees no engine treats as content (tables dropped per the reference's
 # trafilatura flags include_tables=False / include_comments=False,
 # extractor.py:323-324).
@@ -455,7 +453,10 @@ _BOILER_RE = re.compile(
 
 
 def _norm_space(text: str) -> str:
-    return _WS_RE.sub(" ", text).strip()
+    # single-space-normalize + strip; str.split splits on exactly the same
+    # Unicode whitespace class as re \s matches (verified over the whole
+    # BMP), at roughly a third of the regex-sub cost
+    return " ".join(text.split())
 
 
 def _is_excluded(node: Node) -> bool:

@@ -248,6 +248,13 @@ class _TreeBuilder(HTMLParser):
         self.root = Node("[document]")
         self.stack: List[Node] = [self.root]
 
+    def updatepos(self, i, j):
+        # line/column bookkeeping is diagnostics-only (getpos(), error
+        # messages) and we use neither; the base implementation counts
+        # newlines on every token and showed up at ~5% of the whole
+        # cascade's CPU.  Parsing decisions never read lineno/offset.
+        return j
+
     # helpers
     def _append_node(self, tag: str, attrs, self_closing: bool) -> None:
         attr_dict: dict = {}
