@@ -510,6 +510,9 @@ def engine_density(tree, url: str) -> Optional[Dict]:
     # order = doc order of the <p>s, preserving paragraph order per candidate.
     cand_ps: dict = {}   # id(candidate) -> (candidate, [p...])
     cand_order: list = []
+    # memoize per-node exclusion: the same ancestors are re-walked once per
+    # <p>, and _is_excluded's regex scan was ~4% of the whole cascade
+    excl: dict = {}
     for p in doc.by_tag.get("p", ()):
         excluded_below = _is_excluded(p)
         anc = p.parent
@@ -520,7 +523,11 @@ def engine_density(tree, url: str) -> Optional[Dict]:
                     cand_ps[key] = (anc, [])
                     cand_order.append(key)
                 cand_ps[key][1].append(p)
-            if _is_excluded(anc):
+            akey = id(anc)
+            e = excl.get(akey)
+            if e is None:
+                e = excl[akey] = _is_excluded(anc)
+            if e:
                 excluded_below = True
             anc = anc.parent
 
