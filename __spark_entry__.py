@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _sql("lang_id"),
         "quality_score": _sql("quality_score"),
         "pii_scrub": _sql("pii_scrub"),
+        "sample_hash_fraction": _sql("sample_hash_fraction"),
+        "vocab_topk": _sql("vocab_topk"),
+        "host_cap_topn": _sql("host_cap_topn"),
         "decontaminate": _sql("decontaminate"),
         "repetition_stats": _sql("repetition_stats"),
         "passage_chunks": _sql("passage_chunks"),
@@ -396,6 +399,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id",
         "quality_score",
         "pii_scrub",
+        "sample_hash_fraction",
+        "vocab_topk",
+        "host_cap_topn",
         "decontaminate",
         "repetition_stats",
         "passage_chunks",

@@ -1353,6 +1353,75 @@ ORDER BY host
 """,
 )
 
+# --- deterministic hash sampling (the scalable Bernoulli sample) -------------
+# Training pipelines sample by CONTENT-STABLE hash, never rand(): the same
+# doc keeps/loses membership across reruns, engines, and cluster sizes, and
+# the sample composes with resume (a re-run of a failed partition draws the
+# same rows).  Map-only: no shuffle, no RNG state, pushes down to the scan.
+_dual(
+    "sample_hash_fraction",
+    """
+SELECT doc_id, lang,
+       CAST(pmod(CAST(conv(substring(md5(concat('smp1:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 100) AS BIGINT) AS bucket
+FROM documents
+WHERE pmod(CAST(conv(substring(md5(concat('smp1:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 100) < 10
+ORDER BY doc_id
+""",
+    """
+SELECT doc_id, lang,
+       CAST(CAST(concat('0x', substring(md5(concat('smp1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE CAST(concat('0x', substring(md5(concat('smp1:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 10
+ORDER BY doc_id
+""",
+)
+
+# --- corpus vocabulary top-k (token frequency, two-level aggregation) --------
+# The "word count" of LLM data work: explode -> count per token (partial
+# aggregation map-side carries one row per distinct token per partition) ->
+# global top-k with a total-order tie break on the token itself.
+_dual(
+    "vocab_topk",
+    f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT explode({_TOK_SPARK}) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+""",
+    f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_TOK_DUCK}) AS token FROM documents) t
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+""",
+)
+
+# --- per-host cap (domain-mix rebalancing) ------------------------------------
+# Web corpora are host-skewed; training mixes cap each domain's contribution.
+# Keep the top-N docs per host by quality proxy (n_chars desc, doc_id asc
+# tie), i.e. one window ranking partitioned by the host key — the same
+# shuffle the extraction already pays if the table is host-bucketed.
+_both(
+    "host_cap_topn",
+    rf"""
+SELECT doc_id, host, CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, host, n_chars,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM (
+    SELECT doc_id, regexp_extract({_HOST_SYNTH}, '^https?://([^/]+)/', 1) AS host,
+           n_chars
+    FROM documents) t) s
+WHERE rk <= 3
+ORDER BY doc_id
+""",
+)
+
 # --- sessionization over the events stream (gap > 30 min) --------------------
 _both(
     "events_sessionize",
