@@ -173,7 +173,8 @@ def read_warc(
     stream out in ``chunk_records`` batches so a ~1 GB file never
     materializes in worker memory at once; the driver only ever holds the
     path list.  A corrupt file fails only its own task, with the path in
-    the error."""
+    the error; for the keep-going production mode see
+    :func:`read_warc_quarantine`."""
     paths = list(paths)
     rdd = spark.sparkContext.parallelize(
         [(p,) for p in paths], numSlices=max(len(paths), 1)
@@ -185,3 +186,55 @@ def read_warc(
             yield from _scan_chunks(b["path"], chunk_records)
 
     return files.mapInPandas(scan, schema=WARC_PAGES_SCHEMA)
+
+
+WARC_PAGES_Q_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, src_path string, "
+    "error string"
+)
+
+
+def read_warc_quarantine(
+    spark: SparkSession, paths: List[str], chunk_records: int = 256
+) -> DataFrame:
+    """Error-isolating WARC scan for real crawls (~70k files/crawl, some
+    always corrupt): same one-file-per-task grain and bounded streaming as
+    :func:`read_warc`, but a file that fails mid-parse emits the records
+    already scanned PLUS one quarantine row ``(src_path, error)`` with null
+    url/html, instead of failing the job.  Filter ``error IS NULL`` (and
+    drop src_path) to feed ``pipeline.run_extract``; the error rows are the
+    file-level quarantine table, the same pattern as the extraction job's
+    per-row error column."""
+    paths = list(paths)
+    rdd = spark.sparkContext.parallelize(
+        [(p,) for p in paths], numSlices=max(len(paths), 1)
+    )
+    files = spark.createDataFrame(rdd, "path string")
+    cols = ["url", "warc_ts", "html", "src_path", "error"]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p in b["path"]:
+                buf: List[dict] = []
+                try:
+                    for rec in iter_warc_file(p):
+                        rec["src_path"] = p
+                        rec["error"] = None
+                        buf.append(rec)
+                        if len(buf) >= chunk_records:
+                            yield pd.DataFrame(buf, columns=cols)
+                            buf = []
+                except Exception as exc:
+                    buf.append(
+                        {
+                            "url": None,
+                            "warc_ts": None,
+                            "html": None,
+                            "src_path": p,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
+
+    return files.mapInPandas(scan, schema=WARC_PAGES_Q_SCHEMA)

@@ -167,3 +167,38 @@ def test_warc_gzip_close_releases_fd(tmp_path, corpus):
         rows = read_warc_file(path)
         assert len(rows) == 5
     assert not open_fds()
+
+
+def test_warc_quarantine_mode_keeps_going(spark, tmp_path, corpus):
+    """read_warc_quarantine: a corrupt file yields its already-scanned
+    records plus ONE (src_path, error) quarantine row; every other file's
+    records are unaffected — the 70k-file-crawl keep-going mode."""
+    from newsspark.warc import read_warc_quarantine
+
+    good = []
+    for i in range(3):
+        part = corpus.iloc[i::3]
+        p = str(tmp_path / f"ok-{i}.warc")
+        write_warc(p, zip(part["url"], part["warc_ts"], part["html"]))
+        good.append(p)
+    bad = str(tmp_path / "corrupt.warc")
+    data = open(good[0], "rb").read()
+    open(bad, "wb").write(data[: len(data) - len(data) // 3])
+    df = read_warc_quarantine(spark, good + [bad]).cache()
+    try:
+        errs = df.where("error is not null").collect()
+        assert len(errs) == 1
+        assert errs[0]["src_path"] == bad and "truncated" in errs[0]["error"]
+        ok = df.where("error is null")
+        assert ok.count() >= len(corpus)  # all good files + bad's prefix
+        good_urls = {r["url"] for r in ok.collect()}
+        assert set(corpus["url"]) <= good_urls
+        # the clean slice feeds run_extract unchanged
+        from newsspark.pipeline import run_extract
+
+        out = run_extract(
+            spark, ok.select("url", "warc_ts", "html"), num_partitions=4
+        )
+        assert out.count() == ok.count()
+    finally:
+        df.unpersist()
