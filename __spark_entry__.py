@@ -327,14 +327,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash, banding, and simhash votes exactly; the xxhash64
         # production default is proven pair-set-equivalent in
         # tests/test_textops.py
+        # explicitly UNguarded (pre_dedup_exact=False, max_bucket=None): the
+        # DuckDB twins replay clique LSH semantics, and the guarded defaults
+        # are only pair-set-equal on corpora with no exact dups / oversized
+        # buckets — entries must match the oracle on ANY corpus.  The guards
+        # themselves are pinned by planted-corpus tests in test_textops.py.
         "dedup_minhash_lsh": lambda s, d: textops.dedup_minhash_lsh(
-            _docs(s, d), hash_fn="md5_60"
+            _docs(s, d), hash_fn="md5_60",
+            pre_dedup_exact=False, max_bucket=None,
         ),
         "dedup_pipeline": lambda s, d: textops.dedup_pipeline(
-            _docs(s, d), hash_fn="md5_60"
+            _docs(s, d), hash_fn="md5_60",
+            pre_dedup_exact=False, max_bucket=None,
         ),
         "dedup_components": lambda s, d: textops.dedup_components(
-            textops.dedup_pipeline(_docs(s, d), hash_fn="md5_60")
+            textops.dedup_pipeline(
+                _docs(s, d), hash_fn="md5_60",
+                pre_dedup_exact=False, max_bucket=None,
+            )
         ),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d), hash_fn="md5_60"),
         # IVF: the driver entry runs the fixed-centroid oracle twin

@@ -51,41 +51,18 @@ def _quiesce_stop(spark) -> None:
 
 
 def _w8_subprocess(pages_path: str, repeats: int = 2, cores: int = 8) -> float:
-    """Run the width-8 extraction lane in its own spark-submit JVM (the
-    run_scaling.py shape) and return the best wall seconds."""
-    import shutil
-    import subprocess
-    import sys
+    """Run the width-8 extraction lane in its own spark-submit JVM via
+    run_scaling's build_zip/run_one — ONE copy of the launch recipe, so the
+    bench's w8 number stays comparable to the scaling evidence by
+    construction — and return the best wall seconds."""
     import tempfile
-    import zipfile
 
-    os.makedirs(CACHE, exist_ok=True)
-    zpath = os.path.join(CACHE, "newsspark.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
-        pkg = os.path.join(REPO, "newsspark")
-        for name in sorted(os.listdir(pkg)):
-            if name.endswith(".py"):
-                zf.write(os.path.join(pkg, name), f"newsspark/{name}")
-    spark_submit = shutil.which("spark-submit") or os.path.join(
-        os.path.dirname(sys.executable), "spark-submit"
-    )
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import run_scaling
+
+    zpath = run_scaling.build_zip()
     with tempfile.NamedTemporaryFile(suffix=".jsonl", mode="r") as out:
-        subprocess.run(
-            [
-                spark_submit,
-                "--master", f"local[{cores}]",
-                "--driver-memory", "20g",
-                "--py-files", zpath,
-                os.path.join(REPO, "scripts", "bench_job.py"),
-                "--cores", str(cores),
-                "--pages", pages_path,
-                "--out", out.name,
-                "--repeats", str(repeats),
-            ],
-            check=True, cwd=REPO, env=dict(os.environ),
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        rec = json.loads(out.read().strip().splitlines()[-1])
+        rec = run_scaling.run_one(cores, pages_path, zpath, out.name, repeats)
     return float(rec["wall_sec"])
 
 

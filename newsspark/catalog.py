@@ -31,7 +31,20 @@ class ParquetCatalog:
         return spark.read.parquet(self.path(table))
 
     def snapshot_id(self, table: str) -> str:
-        """Deterministic content-address of the committed file set."""
+        """Deterministic content-address of the committed file set.
+
+        Local-filesystem only: ``os.walk`` sees nothing behind hdfs://,
+        s3://, ... URIs, which would silently hash an empty listing and
+        stamp every lineage row with the same meaningless constant — on a
+        cluster use ``IcebergCatalog.snapshot_id`` (a real table snapshot)
+        instead.  An existing-but-fileless table returns '' (explicitly "no
+        snapshot"), never a constant hash."""
+        if "://" in self.base_dir:
+            raise NotImplementedError(
+                "ParquetCatalog.snapshot_id requires a local filesystem "
+                f"path, got {self.base_dir!r}; use IcebergCatalog on a "
+                "cluster"
+            )
         root = self.path(table)
         names = []
         for dirpath, _, files in os.walk(root):
@@ -41,6 +54,8 @@ class ParquetCatalog:
                 for f in files
                 if f.endswith(".parquet")
             )
+        if not names:
+            return ""
         digest = hashlib.sha256("\n".join(sorted(names)).encode()).hexdigest()
         return digest[:16]
 

@@ -259,20 +259,45 @@ def extract_run(
     result = result.withColumn(
         "status", F.when(F.col("error").isNull(), "ok").otherwise("failed")
     )
-    result.write.mode("overwrite").partitionBy("status").parquet(
+    # run totals ride along on the write itself (Observation) — no second
+    # full-data job; partitionBy only creates directories for statuses that
+    # occur, so afterwards any MISSING status gets an empty (but real,
+    # schema-bearing) parquet dir: both summary paths are always readable,
+    # including all-ok, all-failed, and empty-input runs
+    from pyspark.sql import Observation
+
+    obs = Observation(f"extract_run_{run_id}")
+    observed = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
+    )
+    observed.write.mode("overwrite").partitionBy("status").parquet(
         f"{out_dir}/extracted"
     )
+    stats = obs.get
+    n = int(stats["n"] or 0)
+    f = int(stats["f"] or 0)
+    data_schema = result.drop("status").schema
+    for status, present in (("ok", n - f > 0), ("failed", f > 0)):
+        if not present:
+            spark.createDataFrame([], data_schema).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/extracted/status={status}")
     extracted = spark.read.parquet(f"{out_dir}/extracted")
     metric_rows = method_metrics(extracted).collect()
     spark.createDataFrame(
         metric_rows, "method string, n_rows long, n_failed long, text_chars long"
     ).write.mode("overwrite").parquet(f"{out_dir}/metrics")
-    n = sum(int(r["n_rows"]) for r in metric_rows)
-    f = sum(int(r["n_failed"] or 0) for r in metric_rows)
     if not snapshot_id:
         from .catalog import ParquetCatalog
 
-        snapshot_id = ParquetCatalog(out_dir).snapshot_id("extracted")
+        try:
+            snapshot_id = ParquetCatalog(out_dir).snapshot_id("extracted")
+        except NotImplementedError:
+            # non-local out_dir: no default content-address; callers on a
+            # cluster pass the input table's (Iceberg) snapshot explicitly
+            snapshot_id = ""
     wall_ms = int((time.time() - t0) * 1000)
     # bucket/n_buckets are NULL for the unbucketed whole-table run: a 0
     # sentinel would trip completed_buckets' n_buckets consistency check if
@@ -389,7 +414,13 @@ def run_with_checkpoint(
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("f"),
         ).collect()[0]
         wall_ms = int((time.time() - t0) * 1000)
-        bucket_snap = snapshot_id or cat.snapshot_id(f"bucket={b}")
+        if snapshot_id:
+            bucket_snap = snapshot_id
+        else:
+            try:
+                bucket_snap = cat.snapshot_id(f"bucket={b}")
+            except NotImplementedError:
+                bucket_snap = ""  # non-local out_dir: pass one explicitly
         row = [(run_id, b, n_buckets, bucket_snap, int(stats["n"]),
                 int(stats["f"] or 0), wall_ms, "ok")]
         spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(

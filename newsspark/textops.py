@@ -227,18 +227,27 @@ def minhash_lsh_candidates(
     ).select("doc_id", "bk.band", "bk.band_key")
     spark = docs.sparkSession
     if max_bucket is not None:
-        # count first (cheap: partial-aggregates map-side, the shuffle
-        # carries one row per band key), sideline oversized keys, and only
-        # THEN collect ids — no mega-bucket array ever forms in one task
-        sized = banded.groupBy("band", "band_key").agg(
-            F.count("*").alias("n_ids")
+        # size each bucket with a WINDOW count over the same (band,
+        # band_key) partitioning the collect_set needs anyway: one scan of
+        # the expensive signature pipeline and one shuffle (an earlier
+        # count-then-anti-join shape recomputed the MinHash signatures
+        # twice), and the oversized rows are dropped BEFORE collect_set so
+        # no mega-bucket id array ever forms in one task.  A pathological
+        # bucket's rows are still buffered by the window group (spills to
+        # disk) — bounded by rows x 24 bytes, never by pairs².
+        from pyspark.sql import Window
+
+        counted = banded.withColumn(
+            "n_ids",
+            F.count("*").over(Window.partitionBy("band", "band_key")),
         )
-        oversized = sized.where(F.col("n_ids") > max_bucket)
-        banded = banded.join(
-            oversized.select("band", "band_key"),
-            ["band", "band_key"],
-            "left_anti",
+        # same partition keys as the window: no additional exchange
+        oversized = (
+            counted.where(F.col("n_ids") > max_bucket)
+            .groupBy("band", "band_key")
+            .agg(F.max("n_ids").alias("n_ids"))
         )
+        banded = counted.where(F.col("n_ids") <= max_bucket).drop("n_ids")
     else:
         oversized = spark.createDataFrame(
             [], "band int, band_key long, n_ids long"

@@ -142,26 +142,49 @@ def read_warc_file(path: str) -> List[dict]:
 
 
 def _scan_chunks(
-    paths: Iterable[str], chunk_records: int
+    paths: Iterable[str], chunk_records: int, quarantine: bool = False
 ) -> Iterator[pd.DataFrame]:
     """Per-file streaming scan: yields pandas chunks of AT MOST
     ``chunk_records`` rows, so worker memory is bounded by chunk size no
     matter how fat one file is (CC files vary ~10x in record count — the
-    skew unit is the file, and this is the per-task bound).  A parse error
-    is re-raised with the offending PATH so a corrupt file is identifiable
-    from the task failure alone."""
+    skew unit is the file, and this is the per-task bound).
+
+    ``quarantine=False`` (strict): a parse error is re-raised with the
+    offending PATH, so a corrupt file is identifiable from its task
+    failure.  ``quarantine=True`` (keep-going): the records scanned before
+    the failure are emitted, plus one ``(src_path, error)`` row with null
+    url/html, and the scan moves on to the next file; rows gain
+    ``src_path``/``error`` columns (null error = clean record)."""
+    cols = (
+        ["url", "warc_ts", "html", "src_path", "error"]
+        if quarantine
+        else ["url", "warc_ts", "html"]
+    )
     for p in paths:
         buf: List[dict] = []
         try:
             for rec in iter_warc_file(p):
+                if quarantine:
+                    rec["src_path"] = p
+                    rec["error"] = None
                 buf.append(rec)
                 if len(buf) >= chunk_records:
-                    yield pd.DataFrame(buf, columns=["url", "warc_ts", "html"])
+                    yield pd.DataFrame(buf, columns=cols)
                     buf = []
         except Exception as exc:
-            raise ValueError(f"WARC scan failed in {p}: {exc}") from exc
+            if not quarantine:
+                raise ValueError(f"WARC scan failed in {p}: {exc}") from exc
+            buf.append(
+                {
+                    "url": None,
+                    "warc_ts": None,
+                    "html": None,
+                    "src_path": p,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+            )
         if buf:
-            yield pd.DataFrame(buf, columns=["url", "warc_ts", "html"])
+            yield pd.DataFrame(buf, columns=cols)
 
 
 def read_warc(
@@ -210,31 +233,9 @@ def read_warc_quarantine(
         [(p,) for p in paths], numSlices=max(len(paths), 1)
     )
     files = spark.createDataFrame(rdd, "path string")
-    cols = ["url", "warc_ts", "html", "src_path", "error"]
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            for p in b["path"]:
-                buf: List[dict] = []
-                try:
-                    for rec in iter_warc_file(p):
-                        rec["src_path"] = p
-                        rec["error"] = None
-                        buf.append(rec)
-                        if len(buf) >= chunk_records:
-                            yield pd.DataFrame(buf, columns=cols)
-                            buf = []
-                except Exception as exc:
-                    buf.append(
-                        {
-                            "url": None,
-                            "warc_ts": None,
-                            "html": None,
-                            "src_path": p,
-                            "error": f"{type(exc).__name__}: {exc}",
-                        }
-                    )
-                if buf:
-                    yield pd.DataFrame(buf, columns=cols)
+            yield from _scan_chunks(b["path"], chunk_records, quarantine=True)
 
     return files.mapInPandas(scan, schema=WARC_PAGES_Q_SCHEMA)

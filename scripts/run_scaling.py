@@ -84,8 +84,14 @@ def run_one(cores: int, pages: str, zpath: str, out_json: str, repeats: int) -> 
         "--out", out_json,
         "--repeats", str(repeats),
     ]
-    subprocess.run(cmd, check=True, env=dict(os.environ), cwd=REPO,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    # keep stdout/stderr out of the artifact, but don't swallow a failure's
+    # cause: on a non-zero exit the child's stderr tail is printed
+    proc = subprocess.run(cmd, env=dict(os.environ), cwd=REPO,
+                          stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+    if proc.returncode != 0:
+        tail = (proc.stderr or b"").decode(errors="replace").splitlines()[-40:]
+        print("\n".join(tail), file=sys.stderr)
+        raise subprocess.CalledProcessError(proc.returncode, cmd)
     with open(out_json, encoding="utf-8") as f:
         return json.loads(f.readlines()[-1])
 

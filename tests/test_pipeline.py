@@ -282,3 +282,31 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bjoin_a")
         spark.sql("DROP TABLE IF EXISTS bjoin_b")
+
+
+def test_extract_run_all_ok_keeps_both_partition_paths_readable(spark, tmp_path):
+    """partitionBy only creates directories for statuses that occur; a run
+    with zero failures must still leave quarantine_path readable (empty),
+    not PATH_NOT_FOUND — and vice versa (code-review r3 finding)."""
+    import duckdb
+    from newsspark.pages import pages_pdf
+    from newsspark.pipeline import extract_run
+
+    # rich_og archetype pages (slot < 30) extract cleanly
+    ids = [i for i in range(300) if (i * 2654435761) % 100 < 30][:15]
+    docs = dict(
+        duckdb.sql(
+            "select doc_id, text from "
+            "'/root/testdata/sf0.001/documents.parquet' where doc_id < 300"
+        ).fetchall()
+    )
+    pdf = pages_pdf(ids, [docs[i] for i in ids])
+    pages = spark.createDataFrame(pdf[["url", "html"]], "url string, html binary")
+    out = str(tmp_path / "run_ok")
+    summary = extract_run(spark, pages, out, num_partitions=2)
+    assert summary["n_failed"] == 0 and summary["n_rows"] == len(ids)
+    articles = spark.read.parquet(summary["articles_path"])
+    quarantine = spark.read.parquet(summary["quarantine_path"])  # empty, readable
+    assert articles.count() == len(ids)
+    assert quarantine.count() == 0
+    assert quarantine.schema == articles.schema
