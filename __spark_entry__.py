@@ -255,6 +255,60 @@ def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema).orderBy("url")
 
 
+def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation in APPEND mode, driven to
+    convergence: base wave (6/7 of the first two days' events), a LATE wave
+    (the held-out 1/7, re-delivered after the base — inside the 72h
+    watermark so they merge into their original windows), and a far-future
+    sentinel that pushes the final watermark past every real window.  Each
+    real window emits exactly once; the sentinel's window never does; the
+    converged output equals the batch hourly GROUP BY, which is the DuckDB
+    oracle."""
+    import shutil
+    import tempfile
+
+    from newsspark.streaming import stream_hourly_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    root = tempfile.mkdtemp(prefix="newsspark_stream_hourly_")
+    try:
+        ev_dir, out_dir, ckpt = f"{root}/events", f"{root}/out", f"{root}/ckpt"
+        base = events.where(F.expr("pmod(user_id, 7) <> 0"))
+        late = events.where(F.expr("pmod(user_id, 7) = 0"))
+        sentinel = spark.createDataFrame(
+            [(-1, "2024-01-13 00:00:00", 0, "sentinel", 0.0, "{}"),
+             (-2, "2024-01-13 00:00:00", 0, "sentinel", 0.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        for wave in (base, late, sentinel):
+            wave.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).repartition(1).write.mode("append").parquet(ev_dir)
+        q = stream_hourly_counts(spark, ev_dir, out_dir, ckpt)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_hourly_counts did not drain in 600s")
+        result = (
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("window_start").cast("string").alias("hour"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("hour", "event_type")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema).orderBy(
+        "hour", "event_type"
+    )
+
+
 def _host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-host stats: the explicit pmod-salt -> partial -> final
     two-phase (textops.host_stats_salted) over the same host projection as
@@ -312,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _sql("vocab_topk"),
         "host_cap_topn": _sql("host_cap_topn"),
         "decontaminate": _sql("decontaminate"),
+        "dedup_lines": _sql("dedup_lines"),
+        "mixture_weights": _sql("mixture_weights"),
         "repetition_stats": _sql("repetition_stats"),
         "passage_chunks": _sql("passage_chunks"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
@@ -360,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # url/corpus/stream analytics
         "stream_dedup_urls": _stream_dedup_urls,
+        "stream_hourly_counts": _stream_hourly_counts,
         "url_canonicalize": _sql("url_canonicalize"),
         "host_stats": _sql("host_stats"),
         # explicit pmod-salt -> partial -> final two-phase over the same
@@ -413,6 +470,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk",
         "host_cap_topn",
         "decontaminate",
+        "dedup_lines",
+        "mixture_weights",
         "repetition_stats",
         "passage_chunks",
         "ann_bruteforce_topk",
@@ -424,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64",
         "ann_ivf_topk",
         "stream_dedup_urls",
+        "stream_hourly_counts",
         "dedup_embedding_cosine_lsh",
         "url_canonicalize",
         "host_stats",

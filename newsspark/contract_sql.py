@@ -1445,3 +1445,138 @@ GROUP BY user_id, session_num
 ORDER BY user_id, session_num
 """,
 )
+
+# --- corpus-level line dedup (RefinedWeb/CCNet-style boilerplate removal) -----
+# Drop every LINE that occurs in more than 10% of documents (nav bars,
+# subscribe prompts, copyright footers survive HTML extraction as repeated
+# lines; line-level frequency pruning is the standard web-corpus fix).  The
+# documents fixture has no newlines, so the lined input is synthesized
+# identically in both dialects: two text slices plus planted boilerplate
+# (every 3rd doc a subscribe prompt, every 4th a copyright footer) and a
+# semi-common tail shared by ~1/40th of the corpus — at any sf the prompts
+# sit above the 10% threshold (removed) and the tails below it (kept).
+# Scale shape (see textops.dedup_lines): one agg shuffle for the line
+# frequency table, one join back (boilerplate lines are hot keys -> AQE skew
+# join), one groupBy doc_id to reassemble; threshold arithmetic is integer
+# (n_docs * 10 <= n_total) so no float boundary can flip a row.
+_LINED_SPARK = (
+    "concat_ws(chr(10), substring(text, 1, 80), "
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN 'Subscribe to our newsletter for daily updates.' END, "
+    "substring(text, 81, 80), "
+    "CASE WHEN doc_id % 4 = 1 "
+    "THEN '© Example Media Group. All rights reserved.' END, "
+    "concat('share-tail ', CAST(doc_id % 40 AS STRING)))"
+)
+_LINED_DUCK = (
+    "concat_ws(chr(10), substring(text, 1, 80), "
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN 'Subscribe to our newsletter for daily updates.' END, "
+    "substring(text, 81, 80), "
+    "CASE WHEN doc_id % 4 = 1 "
+    "THEN '© Example Media Group. All rights reserved.' END, "
+    "concat('share-tail ', CAST(doc_id % 40 AS VARCHAR(8))))"
+)
+_dual(
+    "dedup_lines",
+    f"""
+WITH lined AS (
+  SELECT doc_id, {_LINED_SPARK} AS t FROM documents),
+lines AS (
+  SELECT doc_id, pos, line
+  FROM lined LATERAL VIEW posexplode(split(t, chr(10))) x AS pos, line),
+freq AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY line),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT doc_id,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       array_join(transform(array_sort(collect_list(
+           CASE WHEN keep THEN named_struct('pos', pos, 'line', line) END)),
+         s -> s.line), chr(10)) AS text_kept
+FROM (
+  SELECT l.doc_id, l.pos, l.line, f.n_docs * 10 <= t.n_total AS keep
+  FROM lines l JOIN freq f ON l.line = f.line CROSS JOIN tot t) k
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    f"""
+WITH lined AS (
+  SELECT doc_id, {_LINED_DUCK} AS t FROM documents),
+lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+           i -> {{'pos': i, 'line': ls[i]}})) AS u
+    FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined) b) s),
+freq AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY line),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT doc_id,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text_kept
+FROM (
+  SELECT l.doc_id, l.pos, l.line, f.n_docs * 10 <= t.n_total AS keep
+  FROM lines l JOIN freq f ON l.line = f.line CROSS JOIN tot t) k
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+
+# --- temperature-resampled language mixture weights ---------------------------
+# The multilingual data-mix op: per-language sampling weight proportional to
+# n^alpha (alpha = 0.5), i.e. sqrt-temperature resampling that up-weights
+# low-resource languages.  sqrt on an exact BIGINT is correctly rounded IEEE
+# in both engines; the DENOMINATOR is the float trap (summation order), so
+# both sides fold sqrt(n) in the SAME lang order: Spark aggregate() over the
+# lang-sorted collect_list, DuckDB list_reduce over list(... ORDER BY lang)
+# with the same 0.0 seed — the CLAUDE.md same-order-fold rule.
+_dual(
+    "mixture_weights",
+    """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+d AS (SELECT aggregate(
+        transform(array_sort(collect_list(named_struct('lang', lang,
+                                                        'n', n_docs))),
+                  s -> sqrt(CAST(s.n AS DOUBLE))),
+        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS denom FROM c)
+SELECT lang, n_docs,
+       round(sqrt(CAST(n_docs AS DOUBLE)) / denom, 6) AS weight
+FROM c CROSS JOIN d
+ORDER BY lang
+""",
+    """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+        (acc, x) -> acc + x) AS denom FROM c)
+SELECT lang, n_docs,
+       round(sqrt(CAST(n_docs AS DOUBLE)) / denom, 6) AS weight
+FROM c CROSS JOIN d
+ORDER BY lang
+""",
+)
+
+# --- streaming hourly counts (watermark + append convergence oracle) ----------
+# The Spark side (streaming.stream_hourly_counts via __spark_entry__) runs a
+# watermarked tumbling-window aggregation in APPEND mode over event waves
+# (base + late arrivals + a far-future sentinel that pushes the watermark
+# past every real window, so each real window emits exactly once and the
+# sentinel's own window never does).  The converged output is batching-
+# invariant by construction, so DuckDB replays it as a plain hourly GROUP BY
+# over the same deterministic event subset.
+DUCK_SQL["stream_hourly_counts"] = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR(32)) AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""

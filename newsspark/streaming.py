@@ -203,3 +203,74 @@ def stream_dedup_urls(
         .trigger(availableNow=True)
         .start()
     )
+
+
+HOURLY_OUT_DDL = (
+    "window_start timestamp, window_end timestamp, event_type string, "
+    "n_events long, total_value double"
+)
+
+
+def stream_hourly_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "72 hours",
+    window: str = "1 hour",
+    max_files_per_trigger: int = 1,
+):
+    """Watermarked hourly aggregation in APPEND mode with a durable sink —
+    the production windowed-rollup shape (stream_event_counts is the
+    memory-sink demo; this one is checkpoint-recoverable and oracle-checked).
+
+    Append mode emits each window EXACTLY ONCE, when the watermark (max
+    event time seen minus ``watermark``) passes the window end; late events
+    arriving within the watermark still land in their original window.  The
+    driver entry feeds base + late waves plus a far-future sentinel event
+    whose only job is to push the final watermark past every real window —
+    so the converged parquet output equals the batch GROUP BY regardless of
+    micro-batch boundaries (the batching-invariance that makes the DuckDB
+    oracle exact).  The sentinel's own window stays above the watermark and
+    never emits.
+
+    total_value sums through DECIMAL(18,2) so float summation order can
+    never flip a cent (the contract_sql money rule).  State per key is one
+    window aggregate; at scale the state store shards by (window, event_type)
+    hash — the standard RocksDB-backend rollup.
+    """
+    from pyspark.sql import functions as F
+
+    events = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

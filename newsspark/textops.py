@@ -1008,3 +1008,67 @@ def dedup_pipeline(
         .orderBy("doc_a", "doc_b")
     )
     return verified
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_frac: float = 0.1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line dedup (RefinedWeb/CCNet-style boilerplate removal):
+    drop every line that occurs in more than ``max_frac`` of the documents —
+    nav bars, subscribe prompts, and copyright footers survive HTML
+    extraction as lines repeated across a large share of the corpus, and
+    line-frequency pruning is the standard web-corpus fix.
+
+    Output: one row per input doc — ``doc_id``, ``n_kept``, ``n_removed``,
+    and ``text_kept`` (surviving lines rejoined with ``sep`` in original
+    order; '' when every line was boilerplate, so the op stays total).
+
+    Scale shape (100 TB): explode to lines -> ONE agg shuffle builds the
+    line-frequency table (map-side partial aggregation collapses repeated
+    lines per partition, so boilerplate costs one row per partition, not
+    per occurrence) -> join frequencies back (boilerplate lines are hot
+    join keys; AQE skew-join splits them) -> one groupBy doc_id to
+    reassemble.  No driver-side state; the corpus-size scalar rides along
+    as a broadcast single-row cross join.  The SQL twin in contract_sql.py
+    ("dedup_lines") is oracle-checked; equivalence of this builder is
+    pinned in tests/test_textops.py.
+    """
+    spark = docs.sparkSession
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    flagged = (
+        lines.join(freq, "line")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "keep",
+            F.col("n_docs").cast("double")
+            <= F.lit(float(max_frac)) * F.col("n_total").cast("double"),
+        )
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["line"]), sep
+            ).alias("text_kept"),
+        )
+        .orderBy("doc_id")
+    )

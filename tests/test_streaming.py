@@ -117,3 +117,56 @@ def test_windowed_watermark_aggregation(spark, tmp_path):
     # append mode withholds the windows still inside the watermark:
     # the stream must emit strictly fewer groups than the full batch agg
     assert len(rows) < len(b)
+
+
+def test_stream_hourly_counts_converges_to_batch(spark, tmp_path):
+    """Watermark + append convergence: base wave, then LATE re-deliveries of
+    earlier hours (inside the watermark -> merged into their original
+    windows), then a far-future sentinel that closes every real window.
+    The converged sink must equal the batch GROUP BY over the non-sentinel
+    events, with each window emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    from newsspark.streaming import stream_hourly_counts
+
+    ddl = ("event_id long, ts string, user_id long, event_type string, "
+           "value double, props string")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ddl).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    base = mk([
+        (1, "2024-03-01 00:10:00", 1, "click", 1.5, "{}"),
+        (2, "2024-03-01 00:40:00", 2, "click", 2.0, "{}"),
+        (3, "2024-03-01 01:05:00", 1, "view", 3.25, "{}"),
+        (4, "2024-03-01 02:59:00", 3, "click", 0.75, "{}"),
+    ])
+    late = mk([  # hour-00 and hour-01 events arriving after hour-02 was seen
+        (5, "2024-03-01 00:20:00", 4, "click", 10.0, "{}"),
+        (6, "2024-03-01 01:30:00", 5, "view", 4.5, "{}"),
+    ])
+    sentinel = mk([(-1, "2024-03-20 00:00:00", 0, "sentinel", 0.0, "{}")])
+
+    ev_dir = str(tmp_path / "events")
+    for wave in (base, late, sentinel):
+        wave.repartition(1).write.mode("append").parquet(ev_dir)
+    q = stream_hourly_counts(
+        spark, ev_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"],
+                                                    r["total_value"])
+        for r in out.collect()
+    }
+    assert len(got) == out.count(), "a window emitted more than once"
+    expected = {
+        ("2024-03-01 00:00:00", "click"): (3, 13.5),  # late event 5 merged
+        ("2024-03-01 01:00:00", "view"): (2, 7.75),   # late event 6 merged
+        ("2024-03-01 02:00:00", "click"): (1, 0.75),
+    }
+    assert got == expected  # sentinel window absent: never closed

@@ -455,3 +455,45 @@ def test_host_stats_salted_hot_host_corpus_and_plan_shape(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(host" in plan
     assert "_salt" in plan  # the widened first-shuffle key
+
+
+def test_dedup_lines_planted_boilerplate(spark):
+    """Lines above the frequency threshold vanish from every doc, unique and
+    below-threshold lines survive in original order, and an all-boilerplate
+    doc still yields a (empty-text) row — the op is total."""
+    boiler = "Subscribe to our newsletter."
+    shared2 = "shared by exactly two docs"
+    rows = [
+        (0, f"unique zero\n{boiler}\nzero tail"),
+        (1, f"{boiler}\nunique one\n{shared2}"),
+        (2, f"{shared2}\n{boiler}"),
+        (3, f"unique three\n{boiler}"),
+        (4, f"{boiler}\nunique four"),
+        (5, boiler),  # nothing but boilerplate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.dedup_lines(docs, max_frac=0.5).toPandas()
+    got = dict(zip(out["doc_id"], out["text_kept"]))
+    # boiler in 6/6 docs (> 0.5) removed; shared2 in 2/6 (<= 0.5) kept
+    assert got[0] == "unique zero\nzero tail"          # order preserved
+    assert got[1] == f"unique one\n{shared2}"
+    assert got[2] == shared2
+    assert got[5] == ""                                 # total, not dropped
+    assert len(out) == 6
+    n = dict(zip(out["doc_id"], zip(out["n_kept"], out["n_removed"])))
+    assert n[0] == (2, 1) and n[5] == (0, 1) and n[2] == (1, 1)
+
+
+def test_dedup_lines_builder_equals_sql_twin(spark):
+    """The DataFrame builder over the synthesized lined input must equal the
+    oracle-checked SQL twin row for row."""
+    from newsspark.contract_sql import _LINED_SPARK
+
+    _views(spark)
+    lined = spark.sql(
+        f"SELECT doc_id, {_LINED_SPARK} AS text FROM documents"
+    )
+    a = _pdf_sorted(textops.dedup_lines(lined, max_frac=0.1))
+    b = _pdf_sorted(spark.sql(SPARK_SQL["dedup_lines"]))
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist()
