@@ -164,6 +164,24 @@ def _api_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse end-to-end (the north rule's third extraction
+    surface): one real PDF synthesized per documents row (Info-dict title,
+    200-char pagination, Tj / TJ-array / hex-string encodings rotated by
+    doc_id, Flate compression on 2 of 3 docs), then extracted back by the
+    from-scratch stdlib parser — object table, page-tree walk, FlateDecode,
+    content-stream text operators.  Synthesis is a pure function of
+    (doc_id, text), so the DuckDB oracle replays the round trip as string
+    arithmetic over the same table."""
+    from newsspark.pdfops import extract_pdf_table, synth_pdf_table
+
+    pdfs = synth_pdf_table(_docs(spark, sf_dir), num_partitions=8)
+    out = extract_pdf_table(pdfs)
+    return out.select(
+        "doc_id", "title", "text", F.col("n_pages").cast("long").alias("n_pages")
+    ).orderBy("doc_id")
+
+
 def _extract_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-connector end-to-end: the golden corpus serialized to WARC
     files (Common Crawl's native format), re-read with the distributed
@@ -339,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_with_rules_join": _extract_with_rules_join,
         "extract_from_warc": _extract_from_warc,
         "api_payload_json": _api_payload_json,
+        "pdf_extract": _pdf_extract,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
         "media_decode": _media_decode,
         "media_frame_sample": _media_frame_sample,
@@ -449,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_with_rules_join",
         "extract_from_warc",
         "api_payload_json",
+        "pdf_extract",
         "media_decode",
         "media_frame_sample",
         "media_embed_ann",

@@ -1580,3 +1580,31 @@ WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY hour, event_type
 """
+
+# --- PDF layout parse (synthesize -> Flate/object/page-tree/text round trip) --
+# The Spark side (pdfops.synth_pdf_table -> extract_pdf_table via
+# __spark_entry__) builds one real PDF per documents row — Info-dict title
+# "doc-<id>", body "<text> (doc <id>)" paginated at 200 chars, content
+# streams rotating Tj / TJ-array / hex-string encodings and Flate-compressed
+# for 2 of every 3 docs — then extracts it back with the from-scratch
+# stdlib parser.  Synthesis is a pure function of (doc_id, text), so DuckDB
+# replays the round trip as string arithmetic: chunk the body at 200 chars
+# and rejoin with newlines.  Escaping (the paren suffix), both filter paths,
+# all three string encodings, and the page-tree walk all sit inside the
+# hash-checked path on every row.
+DUCK_SQL["pdf_extract"] = """
+WITH b AS (
+  SELECT doc_id,
+         text || ' (doc ' || CAST(doc_id AS VARCHAR) || ')' AS body
+  FROM documents)
+SELECT doc_id,
+       'doc-' || CAST(doc_id AS VARCHAR) AS title,
+       array_to_string(
+         list_transform(
+           range(0, greatest(1, CAST(ceil(length(body) / 200.0) AS BIGINT))),
+           i -> substring(body, CAST(i * 200 + 1 AS INT), 200)),
+         chr(10)) AS text,
+       greatest(1, CAST(ceil(length(body) / 200.0) AS BIGINT)) AS n_pages
+FROM b
+ORDER BY doc_id
+"""

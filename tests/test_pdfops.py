@@ -1,0 +1,141 @@
+"""PDF layout parse: writer/parser round trips, content-stream text-operator
+semantics (escapes, hex strings, TJ joins, Td line moves), totality on
+corrupt bytes, and the Spark mapInPandas surface against the DuckDB-replayed
+expectation."""
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsspark.pdfops import (
+    PAGE_CHARS,
+    _content_text,
+    extract_pdf_table,
+    parse_pdf,
+    synth_pdf,
+    synth_pdf_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- pure-Python layer -------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5])
+def test_round_trip_all_encodings(doc_id):
+    """Tj (doc%3==0), TJ array (==1), hex-first TJ (==2), compressed and
+    uncompressed streams: extraction returns the body byte-identically with
+    pages rejoined by newline."""
+    body = ("alpha beta (gamma) d\\e " * 20) + f" (doc {doc_id})"
+    r = parse_pdf(synth_pdf(doc_id, f"doc-{doc_id}", body))
+    pages = [body[i: i + PAGE_CHARS] for i in range(0, len(body), PAGE_CHARS)]
+    assert r["error"] is None
+    assert r["title"] == f"doc-{doc_id}"
+    assert r["n_pages"] == len(pages)
+    assert r["text"] == "\n".join(pages)
+
+
+def test_pagination_boundaries():
+    for n in (PAGE_CHARS - 1, PAGE_CHARS, PAGE_CHARS + 1, 3 * PAGE_CHARS):
+        body = "x" * n
+        r = parse_pdf(synth_pdf(0, "t", body))
+        assert r["n_pages"] == -(-n // PAGE_CHARS)
+        assert r["text"].replace("\n", "") == body
+
+
+def test_content_text_operator_semantics():
+    """Hand-written content stream: Td starts a new line, ' shows on a new
+    line, TJ joins its strings directly, escapes and octal decode."""
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td (line one \\(quoted\\)) Tj "
+        b"0 -14 Td [(tee) -250 (jay)] TJ "
+        b"(apostrophe line) ' "
+        b"0 -14 Td (oct\\101l and \\\\slash) Tj ET"
+    )
+    assert _content_text(stream) == (
+        "line one (quoted)\nteejay\napostrophe line\noctAl and \\slash"
+    )
+
+
+def test_content_text_hex_and_whitespace():
+    # hex strings decode bytewise; embedded whitespace inside <…> is ignored
+    stream = b"BT <48 65 6c 6c 6f> Tj ( world) Tj ET"
+    assert _content_text(stream) == "Hello world"
+
+
+def test_parse_total_on_garbage():
+    assert parse_pdf(b"")["error"].startswith("not-a-pdf")
+    assert parse_pdf(b"\x00\x01\x02")["error"].startswith("not-a-pdf")
+    r = parse_pdf(b"%PDF-1.4\nnothing else")
+    assert r["error"] is None and r["n_pages"] == 0 and r["text"] == ""
+
+
+def test_parse_total_on_corrupt_flate():
+    pdf = bytearray(synth_pdf(0, "t", "hello world " * 40))
+    # smash the middle of the first compressed stream body
+    at = pdf.find(b"stream\n") + 10
+    pdf[at: at + 8] = b"\x00" * 8
+    r = parse_pdf(bytes(pdf))
+    # totality is the contract: either an error row or degraded text,
+    # never a raise
+    assert isinstance(r, dict) and set(r) == {"title", "text", "n_pages",
+                                              "error"}
+
+
+def test_info_title_with_escapes():
+    r = parse_pdf(synth_pdf(7, "a (b) \\ c", "body text here"))
+    assert r["title"] == "a (b) \\ c"
+
+
+# --- Spark surface -----------------------------------------------------------
+
+
+def test_spark_round_trip_matches_expectation(spark):
+    """synth_pdf_table -> extract_pdf_table over real documents rows equals
+    the pure-string expectation (the DuckDB oracle's formula)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    out = (
+        extract_pdf_table(synth_pdf_table(docs, num_partitions=4))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = {
+        int(r["doc_id"]): f"{r['text']} (doc {int(r['doc_id'])})"
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert len(out) == len(exp)
+    assert out["error"].isna().all()
+    for _, row in out.iterrows():
+        body = exp[int(row["doc_id"])]
+        pages = [body[i: i + PAGE_CHARS]
+                 for i in range(0, len(body), PAGE_CHARS)]
+        assert row["title"] == f"doc-{int(row['doc_id'])}"
+        assert row["text"] == "\n".join(pages)
+        assert int(row["n_pages"]) == len(pages)
+
+
+def test_spark_corrupt_payload_isolated(spark):
+    """One corrupt payload yields one error row; the good rows still
+    extract — per-row totality through the Arrow batch path."""
+    good = synth_pdf(1, "doc-1", "fine text " * 30)
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a pdf at all")),
+            (3, None)]
+    pdfs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {int(r["doc_id"]): r
+           for r in extract_pdf_table(pdfs).collect()}
+    assert out[1]["error"] is None and out[1]["n_pages"] >= 1
+    assert out[2]["error"] is not None
+    assert out[3]["error"] is not None
+
+
+def test_plan_is_shuffle_free_after_spread(spark):
+    """The parse stage itself adds no exchange beyond the explicit spread
+    repartition — pure map over Arrow batches."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        extract_pdf_table(synth_pdf_table(docs, num_partitions=4))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # the single doc-hash spread
+    assert plan.count("MapInPandas") == 2  # synth + parse, fused map stages
