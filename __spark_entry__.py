@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _sql("decontaminate"),
         "dedup_lines": _sql("dedup_lines"),
         "mixture_weights": _sql("mixture_weights"),
+        "unigram_logprob_buckets": _sql("unigram_logprob_buckets"),
+        "incremental_new_docs": _sql("incremental_new_docs"),
         "repetition_stats": _sql("repetition_stats"),
         "passage_chunks": _sql("passage_chunks"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
@@ -492,6 +494,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate",
         "dedup_lines",
         "mixture_weights",
+        "unigram_logprob_buckets",
+        "incremental_new_docs",
         "repetition_stats",
         "passage_chunks",
         "ann_bruteforce_topk",

@@ -1608,3 +1608,111 @@ SELECT doc_id,
 FROM b
 ORDER BY doc_id
 """
+
+# --- unigram-LM log-prob quality buckets (CCNet-style stratification) ---------
+# Train a unigram language model ON the corpus itself (token -> corpus
+# frequency), score every document by mean token log-probability, and cut
+# the corpus into terciles (head / middle / tail) with ntile — the CCNet
+# quality-stratification shape, with the corpus LM standing in for the
+# external KenLM.  Float discipline: ln(n/total) of exact BIGINT ratios is
+# bit-identical across engines (verified empirically on this corpus); the
+# per-doc SUM is the order trap, so both sides fold token log-probs in
+# POSITION order with the same 0.0 seed (Spark aggregate over the
+# pos-sorted collect_list; DuckDB list_reduce over list(... ORDER BY pos)).
+# ntile orders by the bit-exact unrounded mean with doc_id as total-order
+# tiebreak.  Scale shape: one token-agg shuffle for the LM (tiny — vocab
+# scale), broadcast-join the LM back, one groupBy doc_id; the LM table at
+# web scale is millions of rows, still broadcastable after a min-count cut.
+_dual(
+    "unigram_logprob_buckets",
+    """
+WITH toks AS (
+  SELECT doc_id, pos, tok
+  FROM documents LATERAL VIEW posexplode(split(text, ' ')) x AS pos, tok),
+lm AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+scored AS (
+  SELECT t.doc_id, t.pos, ln(CAST(l.n AS DOUBLE) / tt.n_total) AS lp
+  FROM toks t JOIN lm l ON t.tok = l.tok CROSS JOIN tot tt),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         aggregate(
+           transform(array_sort(collect_list(named_struct('pos', pos,
+                                                          'lp', lp))),
+                     s -> s.lp),
+           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / count(*) AS avg_lp
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(avg_lp, 6) AS avg_logprob,
+       CAST(ntile(3) OVER (ORDER BY avg_lp, doc_id) AS BIGINT) AS bucket
+FROM perdoc
+ORDER BY doc_id
+""",
+    """
+WITH toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+           i -> {'pos': i, 'tok': ls[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents) b) s),
+lm AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+scored AS (
+  SELECT t.doc_id, t.pos, ln(CAST(l.n AS DOUBLE) / tt.n_total) AS lp
+  FROM toks t JOIN lm l ON t.tok = l.tok CROSS JOIN tot tt),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(lp ORDER BY pos)),
+                     (acc, x) -> acc + x) / count(*) AS avg_lp
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(avg_lp, 6) AS avg_logprob,
+       CAST(ntile(3) OVER (ORDER BY avg_lp, doc_id) AS BIGINT) AS bucket
+FROM perdoc
+ORDER BY doc_id
+""",
+)
+
+# --- incremental ingest: snapshot-diff anti-join ------------------------------
+# The daily-crawl shape: given yesterday's corpus snapshot and today's batch,
+# admit only content-new documents (content hash not present in the
+# snapshot).  The batch is synthesized deterministically from the corpus —
+# every 3rd doc re-arrives byte-identical (a true re-crawl duplicate, must
+# be dropped), the rest arrive with a ' v2' revision suffix (content-new,
+# must pass).  Scale shape: hash the text once per side, LEFT ANTI JOIN on
+# the digest — one shuffle on a uniform key; at 100 TB the snapshot side
+# feeds a bloom-filter pushdown first so the shuffle only carries probable
+# news (the classic two-tier membership check).
+_dual(
+    "incremental_new_docs",
+    """
+WITH corpus AS (SELECT md5(text) AS h FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE concat(text, ' v2') END AS text
+  FROM documents)
+SELECT b.doc_id,
+       CAST(length(b.text) AS BIGINT) AS n_chars,
+       md5(b.text) AS content_hash
+FROM batch b LEFT ANTI JOIN corpus c ON md5(b.text) = c.h
+ORDER BY b.doc_id
+""",
+    """
+WITH corpus AS (SELECT md5(text) AS h FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' v2' END AS text
+  FROM documents)
+SELECT b.doc_id,
+       CAST(length(b.text) AS BIGINT) AS n_chars,
+       md5(b.text) AS content_hash
+FROM batch b ANTI JOIN corpus c ON md5(b.text) = c.h
+ORDER BY b.doc_id
+""",
+)

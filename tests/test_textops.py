@@ -497,3 +497,32 @@ def test_dedup_lines_builder_equals_sql_twin(spark):
     b = _pdf_sorted(spark.sql(SPARK_SQL["dedup_lines"]))
     assert list(a.columns) == list(b.columns)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_unigram_logprob_buckets_semantics(spark):
+    """Tercile cut is by mean token log-prob: rare-token-heavy docs land in
+    lower buckets than common-token docs, buckets partition the corpus into
+    near-equal thirds, and avg_logprob is strictly negative."""
+    _views(spark)
+    out = spark.sql(SPARK_SQL["unigram_logprob_buckets"]).toPandas()
+    assert len(out) == 500
+    sizes = out["bucket"].value_counts().to_dict()
+    assert set(sizes) == {1, 2, 3} and max(sizes.values()) - min(sizes.values()) <= 1
+    assert (out["avg_logprob"] < 0).all()
+    # bucket order tracks the score: every bucket-1 doc scores <= every
+    # bucket-3 doc (ntile over the unrounded mean)
+    assert out[out.bucket == 1]["avg_logprob"].max() <= \
+        out[out.bucket == 3]["avg_logprob"].min()
+
+
+def test_incremental_new_docs_drops_exact_recrawls(spark):
+    """Every 3rd batch doc re-arrives byte-identical and must be dropped by
+    the snapshot anti-join; revised docs pass with a new content hash."""
+    _views(spark)
+    out = spark.sql(SPARK_SQL["incremental_new_docs"]).toPandas()
+    ids = set(out["doc_id"] - 1000000)
+    assert ids == {i for i in range(500) if i % 3 != 0}
+    corpus_hashes = set(
+        r["h"] for r in spark.sql("SELECT md5(text) h FROM documents").collect()
+    )
+    assert not (set(out["content_hash"]) & corpus_hashes)
