@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_salted": _host_stats_salted,
         "host_distinct_stats": _sql("host_distinct_stats"),
         "events_sessionize": _sql("events_sessionize"),
+        "asof_join": _sql("asof_join"),
         # relational demonstrations
         "tpch_pricing_summary": _sql("tpch_pricing_summary"),
         "join_orders_by_nation": _sql("join_orders_by_nation"),
@@ -514,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats_salted",
         "host_distinct_stats",
         "events_sessionize",
+        "asof_join",
         "tpch_pricing_summary",
         "join_orders_by_nation",
         "events_hourly",

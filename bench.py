@@ -155,6 +155,21 @@ def main() -> None:
         timed("quality_score", lambda: textops.quality_score(docs))
         timed("dedup_exact", lambda: textops.dedup_exact(docs))
 
+        # round-3 lanes (EXCLUDED from the headline total so 'value' stays
+        # comparable with earlier recorded rounds; per-lane numbers in
+        # 'queries' are the signal)
+        from newsspark.contract_sql import _LINED_SPARK
+        from newsspark.pdfops import extract_pdf_table, synth_pdf_table
+
+        lined = docs.selectExpr("doc_id", f"{_LINED_SPARK} AS text")
+        timed("dedup_lines", lambda: textops.dedup_lines(lined))
+        timed(
+            "pdf_extract",
+            lambda: extract_pdf_table(
+                synth_pdf_table(docs, num_partitions=CPUS)
+            ),
+        )
+
         import __spark_entry__ as entrymod
 
         entrymod._views(spark, SF_DIR)
@@ -173,11 +188,12 @@ def main() -> None:
         _quiesce_stop(spark)
         timings["extract_cascade_w8"] = _w8_subprocess(pages_path, repeats=2)
 
-        # headline total excludes the w8 lane: it is extra measurement work
-        # added in round 2, not a slowdown — keeping it out preserves
-        # comparability of 'value' across recorded rounds
+        # headline total excludes the w8 lane (extra measurement work added
+        # in round 2) and the round-3 op lanes — keeping the lane set of
+        # 'value' fixed preserves comparability across recorded rounds
+        excluded = {"extract_cascade_w8", "dedup_lines", "pdf_extract"}
         total = round(
-            sum(v for k, v in timings.items() if k != "extract_cascade_w8"), 3
+            sum(v for k, v in timings.items() if k not in excluded), 3
         )
         print(
             json.dumps(

@@ -1716,3 +1716,58 @@ FROM batch b ANTI JOIN corpus c ON md5(b.text) = c.h
 ORDER BY b.doc_id
 """,
 )
+
+# --- as-of (point-in-time) join -----------------------------------------------
+# Each click picks the user's LATEST purchase at-or-before the click time —
+# the market-data / feature-store lookup Spark has no native operator for.
+# Spark side: the merge-based union + per-key window carry (relops.asof_join
+# is the DataFrame builder; this is its SQL transcription) — ONE hash
+# shuffle, no pair explosion.  DuckDB side: the NATIVE ASOF JOIN.  Two
+# unrelated physical strategies must produce identical rows, including the
+# inclusive <= tie (right sorts before left at equal ts) and NULLs for
+# clicks with no prior purchase.  The purchase side is pre-reduced to one
+# row per (user_id, ts) so the carried value cannot depend on tie order on
+# ANY corpus.
+_dual(
+    "asof_join",
+    """
+WITH lefts AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'click'),
+rights AS (
+  SELECT user_id, ts, max(value) AS rval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+u AS (
+  SELECT user_id, ts, 1 AS is_left, event_id, value,
+         CAST(NULL AS DOUBLE) AS rval, CAST(NULL AS TIMESTAMP) AS rts
+  FROM lefts
+  UNION ALL
+  SELECT user_id, ts, 0 AS is_left, CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS DOUBLE) AS value, rval, ts AS rts
+  FROM rights),
+c AS (
+  SELECT user_id, ts, is_left, event_id, value,
+         last_value(rval, true) OVER w AS purchase_value,
+         last_value(rts, true) OVER w AS purchase_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, CAST(ts AS STRING) AS ts, value,
+       CAST(purchase_ts AS STRING) AS purchase_ts, purchase_value
+FROM c WHERE is_left = 1
+ORDER BY event_id
+""",
+    """
+WITH lefts AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'click'),
+rights AS (
+  SELECT user_id, ts, max(value) AS rval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, CAST(l.ts AS VARCHAR) AS ts, l.value,
+       CAST(r.ts AS VARCHAR) AS purchase_ts, r.rval AS purchase_value
+FROM lefts l ASOF LEFT JOIN rights r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+)

@@ -1,0 +1,98 @@
+"""asof_join: planted-edge semantics (inclusive tie, no-prior NULLs,
+tolerance lookback), builder vs the oracle-checked SQL twin, and the
+one-shuffle plan shape."""
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from newsspark.relops import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def planted(spark):
+    lefts = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00", 5.0),   # after r@09:00 -> 1.0
+            (2, 10, "2024-01-01 11:00:00", 6.0),   # tie with r@11:00 -> 2.0
+            (3, 10, "2024-01-01 08:00:00", 7.0),   # before any right -> NULL
+            (4, 20, "2024-01-01 12:00:00", 8.0),   # user with no rights
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rights = spark.createDataFrame(
+        [
+            (10, "2024-01-01 09:00:00", 1.0),
+            (10, "2024-01-01 11:00:00", 2.0),
+        ],
+        "user_id long, ts string, rval double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return lefts, rights
+
+
+def test_asof_semantics_planted(planted):
+    lefts, rights = planted
+    out = {
+        r["event_id"]: (str(r["asof_ts"]) if r["asof_ts"] else None,
+                        r["asof_rval"])
+        for r in asof_join(lefts, rights).collect()
+    }
+    assert out[1] == ("2024-01-01 09:00:00", 1.0)
+    assert out[2] == ("2024-01-01 11:00:00", 2.0)  # inclusive <= tie
+    assert out[3] == (None, None)                  # nothing at-or-before
+    assert out[4] == (None, None)                  # keyless user
+
+
+def test_asof_tolerance_lookback(planted):
+    lefts, rights = planted
+    out = {
+        r["event_id"]: r["asof_rval"]
+        for r in asof_join(
+            lefts, rights, tolerance=F.expr("INTERVAL 30 MINUTES")
+        ).collect()
+    }
+    # event 1 is 60min after its match -> dropped by the lookback bound;
+    # event 2 is an exact tie (0min) -> kept
+    assert out[1] is None and out[2] == 2.0
+
+
+def test_asof_builder_equals_sql_twin(spark):
+    from newsspark.contract_sql import SPARK_SQL
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    events.createOrReplaceTempView("events")
+    lefts = events.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rights = (
+        events.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rval"))
+    )
+    a = (
+        asof_join(lefts, rights)
+        .select(
+            "event_id", "user_id", F.col("ts").cast("string").alias("ts"),
+            "value",
+            F.col("asof_ts").cast("string").alias("purchase_ts"),
+            F.col("asof_rval").alias("purchase_value"),
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    b = spark.sql(SPARK_SQL["asof_join"]).toPandas()
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_plan_single_shuffle(planted):
+    lefts, rights = planted
+    plan = (
+        asof_join(lefts, rights)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash shuffle on the key for the window sort; crucially NO
+    # cartesian/broadcast-nested-loop range join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
