@@ -136,16 +136,71 @@ def synth_pdf(doc_id: int, title: str, body: str) -> bytes:
 # reader (from-scratch extractor)
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
-_REF_RE = re.compile(rb"/%s\s+(\d+)\s+\d+\s+R")
+_OBJ_START_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
 _ESCAPES = {
     ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
     ord("f"): b"\f", ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
 }
 
 
+def _find_outside_literals(
+    data: bytes, token: bytes, start: int, stop: int | None = None
+) -> int:
+    """Index of ``token`` in ``data[start:stop]``, skipping ``(…)`` string
+    literals (a /Title like ``(x endobj y)`` must not terminate the object
+    scan).  Hex strings cannot contain the keywords ('n','o','j' are not
+    hex digits), so only literals need skipping."""
+    i = start
+    n = len(data) if stop is None else min(stop, len(data))
+    first = token[0]
+    while i < n:
+        c = data[i]
+        if c == 0x28:  # ( — skip the whole literal, escapes included
+            _, i = _parse_literal(data, i)
+        elif c == first and data.startswith(token, i) and i + len(token) <= n:
+            return i
+        else:
+            i += 1
+    return -1
+
+
 def _objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    """Sequential object scan that SKIPS stream payloads by their /Length
+    before looking for ``endobj`` — a payload (uncompressed text, or 1/77
+    of compressed bytes) may legitimately contain the literal ``endobj``,
+    and a non-greedy regex truncates the object there (silent text loss,
+    caught by an adversarial test).  Dict-level searches are string-literal
+    aware for the same reason (titles).  Falls back to the nearest
+    ``endstream`` when /Length is absent."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_START_RE.search(data, pos)
+        if not m:
+            return objs
+        num, body_start = int(m.group(1)), m.end()
+        sm = _STREAM_RE.search(data, body_start)
+        # bound the dict-level walk at the stream keyword so payload bytes
+        # are never scanned per-byte; -1 here means "no endobj before the
+        # stream", i.e. the stream belongs to THIS object
+        end = _find_outside_literals(
+            data, b"endobj", body_start,
+            stop=sm.start() if sm is not None else None,
+        )
+        if sm is not None and (end < 0 or sm.start() < end):
+            lm = re.search(rb"/Length\s+(\d+)", data[body_start: sm.start()])
+            if lm:
+                skip_to = sm.end() + int(lm.group(1))
+            else:
+                es = data.find(b"endstream", sm.end())
+                skip_to = es if es >= 0 else sm.end()
+            end = _find_outside_literals(data, b"endobj", skip_to)
+        if end < 0:
+            objs[num] = data[body_start:]
+            return objs
+        objs[num] = data[body_start:end]
+        pos = end + len(b"endobj")
 
 
 def _ref(body: bytes, name: str) -> int | None:

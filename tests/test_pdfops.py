@@ -139,3 +139,66 @@ def test_plan_is_shuffle_free_after_spread(spark):
     )
     assert plan.count("Exchange") == 1  # the single doc-hash spread
     assert plan.count("MapInPandas") == 2  # synth + parse, fused map stages
+
+
+# --- property layer ----------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_latin1_line = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
+                           exclude_characters="\x7f"),
+    max_size=600,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=st.integers(min_value=0, max_value=10**9), body=_latin1_line,
+       title=_latin1_line)
+def test_round_trip_property(doc_id, body, title):
+    """Any printable-latin-1 body/title (incl. parens, backslashes, octal-
+    looking digits) survives write->parse byte-identically with correct
+    pagination — the writer's escaping and the parser's unescaping are
+    exact inverses."""
+    r = parse_pdf(synth_pdf(doc_id, title, body))
+    pages = [body[i: i + PAGE_CHARS] for i in range(0, len(body), PAGE_CHARS)]
+    assert r["error"] is None
+    assert r["title"] == title
+    assert r["text"] == "\n".join(pages) if pages else r["text"] == ""
+    assert r["n_pages"] == max(1, len(pages))
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_parse_total_property(data):
+    """parse_pdf never raises on arbitrary byte soup."""
+    r = parse_pdf(data)
+    assert set(r) == {"title", "text", "n_pages", "error"}
+
+
+@pytest.mark.parametrize("evil", [
+    "text with endobj inside",
+    "stream\nendstream here",
+    "x endobj yx 5 0 obj z" * 30,
+    "a endstream b" * 40,
+])
+@pytest.mark.parametrize("doc_id", [2, 5])  # %3==2 -> uncompressed streams
+def test_structural_keywords_in_body(doc_id, evil):
+    """PDF structural keywords appearing INSIDE an uncompressed text stream
+    must not truncate the object scan — the scanner skips stream payloads
+    by /Length (regression: multi-page uncompressed bodies containing
+    'endobj' silently extracted as empty)."""
+    r = parse_pdf(synth_pdf(doc_id, "tt", evil))
+    pages = [evil[i: i + PAGE_CHARS] for i in range(0, len(evil), PAGE_CHARS)]
+    assert r["error"] is None
+    assert r["text"] == "\n".join(pages)
+
+
+@pytest.mark.parametrize("title", [
+    "x endobj y", "a 5 0 obj b", "stream", "(nested) endobj",
+])
+def test_structural_keywords_in_title(title):
+    """Keywords inside the Info /Title literal must not terminate the
+    object scan — dict-level searches skip string literals."""
+    r = parse_pdf(synth_pdf(0, title, "body words"))
+    assert r["title"] == title and r["text"] == "body words"
