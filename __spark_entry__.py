@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_distinct_stats": _sql("host_distinct_stats"),
         "events_sessionize": _sql("events_sessionize"),
         "asof_join": _sql("asof_join"),
+        "range_join": _sql("range_join"),
         # relational demonstrations
         "tpch_pricing_summary": _sql("tpch_pricing_summary"),
         "join_orders_by_nation": _sql("join_orders_by_nation"),
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "host_distinct_stats",
         "events_sessionize",
         "asof_join",
+        "range_join",
         "tpch_pricing_summary",
         "join_orders_by_nation",
         "events_hourly",

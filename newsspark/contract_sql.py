@@ -1771,3 +1771,54 @@ FROM lefts l ASOF LEFT JOIN rights r
 ORDER BY l.event_id
 """,
 )
+
+# --- banded range (interval) join ---------------------------------------------
+# Every click paired with the same user's purchases within ±1 hour.  Spark
+# side: the BANDED strategy (relops.range_join's SQL transcription) — left
+# rows explode over the hour bins their window touches (constant fan-out),
+# equi-join on (user, bin), exact predicate filter; one shuffle on a key
+# FINER than user alone, so hot users spread across time bins.  DuckDB
+# side: the plain inequality join.  Different physical strategies, same
+# pair set; each right row sits in exactly one bin so the banded plan can
+# never duplicate a pair.  ORDER BY carries r_value so tied (event_id,
+# r_ts) rows are identical in every column (total-order audit rule).
+_dual(
+    "range_join",
+    """
+WITH lefts AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+rights AS (
+  SELECT user_id, ts AS r_ts, value AS r_value
+  FROM events WHERE event_type = 'purchase'),
+lb AS (
+  SELECT event_id, user_id, ts, value,
+         explode(sequence(
+           CAST(floor(unix_timestamp(ts - INTERVAL 1 HOUR) / 3600) AS BIGINT),
+           CAST(floor(unix_timestamp(ts + INTERVAL 1 HOUR) / 3600) AS BIGINT)
+         )) AS bin
+  FROM lefts),
+rb AS (
+  SELECT user_id, r_ts, r_value,
+         CAST(floor(unix_timestamp(r_ts) / 3600) AS BIGINT) AS bin
+  FROM rights)
+SELECT lb.event_id, lb.user_id, CAST(lb.ts AS STRING) AS ts,
+       CAST(rb.r_ts AS STRING) AS r_ts, rb.r_value
+FROM lb JOIN rb ON lb.user_id = rb.user_id AND lb.bin = rb.bin
+WHERE rb.r_ts >= lb.ts - INTERVAL 1 HOUR
+  AND rb.r_ts <= lb.ts + INTERVAL 1 HOUR
+ORDER BY event_id, r_ts, r_value
+""",
+    """
+WITH lefts AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+rights AS (
+  SELECT user_id, ts AS r_ts, value AS r_value
+  FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, CAST(l.ts AS VARCHAR) AS ts,
+       CAST(r.r_ts AS VARCHAR) AS r_ts, r.r_value
+FROM lefts l JOIN rights r ON l.user_id = r.user_id
+  AND r.r_ts >= l.ts - INTERVAL 1 HOUR
+  AND r.r_ts <= l.ts + INTERVAL 1 HOUR
+ORDER BY event_id, r_ts, r_value
+""",
+)

@@ -100,3 +100,51 @@ def asof_join(
                                      for c in right_cols]
         )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lower: str = "1 HOUR",
+    upper: str = "1 HOUR",
+    bucket_seconds: int = 3600,
+    right_cols: Sequence[str] = ("rval",),
+) -> DataFrame:
+    """Interval join: every (left, right) pair sharing ``key`` with
+    ``right.ts`` in ``[left.ts - lower, left.ts + upper]`` (inclusive both
+    ends) — the event-correlation / feature-window shape.
+
+    Spark's native plan for a pure inequality join is a broadcast
+    nested-loop or a per-key cross product — O(|L|·|R|) on hot keys.  This
+    is the BANDED strategy instead (the same idea as Databricks' range-join
+    optimization, built from public primitives): bucket time into
+    ``bucket_seconds`` bins, explode each left row over the bins its window
+    touches (``sequence`` — span/bucket + 1 rows, a CONSTANT fan-out),
+    equi-join on (key, bin), then filter the exact predicate.  Each right
+    row lives in exactly one bin, so no pair is produced twice.  Cost: one
+    hash shuffle on a (key, bin) key that is FINER than key alone — hot
+    keys spread across time bins, which is the skew win.
+
+    Right columns arrive prefixed ``r_`` (``r_ts`` plus ``r_<c>``).
+    """
+    lo_i = F.expr(f"INTERVAL {lower}")
+    up_i = F.expr(f"INTERVAL {upper}")
+    win_lo = F.col(ts_col) - lo_i
+    win_up = F.col(ts_col) + up_i
+    lb = F.floor(F.unix_timestamp(win_lo) / bucket_seconds)
+    ub = F.floor(F.unix_timestamp(win_up) / bucket_seconds)
+    l = left.withColumn("_bin", F.explode(F.sequence(lb, ub)))
+    r = right.select(
+        F.col(key),
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    ).withColumn(
+        "_bin", F.floor(F.unix_timestamp("r_ts") / bucket_seconds)
+    )
+    return (
+        l.join(r, [key, "_bin"])
+        .where((F.col("r_ts") >= win_lo) & (F.col("r_ts") <= win_up))
+        .drop("_bin")
+    )

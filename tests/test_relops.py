@@ -96,3 +96,74 @@ def test_asof_plan_single_shuffle(planted):
     # cartesian/broadcast-nested-loop range join
     assert plan.count("Exchange hashpartitioning") == 1
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_planted_edges(spark):
+    """Boundary inclusivity at exactly ±window, cross-bin matches, key
+    isolation, and no duplicate pairs from the banded plan."""
+    from newsspark.relops import range_join
+
+    lefts = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00", 1.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rights = spark.createDataFrame(
+        [
+            (10, "2024-01-01 09:00:00", 1.0),   # exactly -1h -> included
+            (10, "2024-01-01 11:00:00", 2.0),   # exactly +1h -> included
+            (10, "2024-01-01 08:59:59", 3.0),   # 1s outside -> excluded
+            (10, "2024-01-01 10:59:00", 4.0),   # inside, different bin
+            (10, "2024-01-01 10:00:00", 5.0),   # same instant -> included
+            (20, "2024-01-01 10:00:00", 6.0),   # other key -> excluded
+        ],
+        "user_id long, ts string, rval double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = range_join(lefts, rights).collect()
+    got = sorted(r["r_rval"] for r in out)
+    assert got == [1.0, 2.0, 4.0, 5.0]
+    assert len(out) == len({(r["event_id"], str(r["r_ts"]), r["r_rval"])
+                            for r in out})  # banded plan: no pair twice
+
+
+def test_range_join_builder_equals_sql_twin(spark):
+    from newsspark.contract_sql import SPARK_SQL
+    from newsspark.relops import range_join
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    events.createOrReplaceTempView("events")
+    lefts = events.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rights = events.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("rval")
+    )
+    a = (
+        range_join(lefts, rights, right_cols=("rval",))
+        .select(
+            "event_id", "user_id", F.col("ts").cast("string").alias("ts"),
+            F.col("r_ts").cast("string").alias("r_ts"),
+            F.col("r_rval").alias("r_value"),
+        )
+        .orderBy("event_id", "r_ts", "r_value")
+        .toPandas()
+    )
+    b = spark.sql(SPARK_SQL["range_join"]).toPandas()
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_join_plan_no_nested_loop(spark):
+    from newsspark.relops import range_join
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    lefts = events.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rights = events.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("rval")
+    )
+    plan = (
+        range_join(lefts, rights)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
