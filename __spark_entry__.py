@@ -182,6 +182,16 @@ def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style zlib-compressibility quality signal, oracle-checked via
+    the frozen fixture (tests/fixtures/golden/compression.jsonl): runs over
+    the FIXED sf0.001 documents table (``sf_dir`` deliberately unused, like
+    extract_cascade) so DuckDB can replay the non-SQL-expressible zlib step
+    from the freeze while recomputing the ratio arithmetic itself."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return textops.compression_ratio(docs).orderBy("doc_id")
+
+
 def _extract_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-connector end-to-end: the golden corpus serialized to WARC
     files (Common Crawl's native format), re-read with the distributed
@@ -358,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_from_warc": _extract_from_warc,
         "api_payload_json": _api_payload_json,
         "pdf_extract": _pdf_extract,
+        "compression_ratio": _compression_ratio,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
         "media_decode": _media_decode,
         "media_frame_sample": _media_frame_sample,
@@ -473,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_from_warc",
         "api_payload_json",
         "pdf_extract",
+        "compression_ratio",
         "media_decode",
         "media_frame_sample",
         "media_embed_ann",

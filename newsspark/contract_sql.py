@@ -1822,3 +1822,23 @@ FROM lefts l JOIN rights r ON l.user_id = r.user_id
 ORDER BY event_id, r_ts, r_value
 """,
 )
+
+# --- compression-ratio quality signal (zlib compressibility) ------------------
+# The Spark side (textops.compression_ratio via __spark_entry__) zlib-
+# compresses each document in a shuffle-free mapInPandas pass; DuckDB has no
+# zlib, so the oracle replays the FROZEN fixture (the media-embeddings
+# freeze contract): scripts/freeze_compression.py pins (doc_id, n_chars,
+# comp_len) over the fixed sf0.001 documents table, DuckDB recomputes the
+# ratio arithmetic (exact-int division + round(,6) — bit-identical), and a
+# pytest pins the live output to the fixture with no tolerance.
+DUCK_SQL["compression_ratio"] = f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(comp_len AS BIGINT) AS comp_len,
+       CASE WHEN n_chars > 0
+            THEN round(CAST(comp_len AS DOUBLE) / n_chars, 6) END AS ratio
+FROM read_json('{_os.path.join(_FIXTURE_DIR, "compression.jsonl")}',
+               columns={{'doc_id': 'BIGINT', 'n_chars': 'BIGINT',
+                         'comp_len': 'BIGINT'}})
+ORDER BY doc_id
+"""

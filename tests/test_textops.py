@@ -526,3 +526,30 @@ def test_incremental_new_docs_drops_exact_recrawls(spark):
         r["h"] for r in spark.sql("SELECT md5(text) h FROM documents").collect()
     )
     assert not (set(out["content_hash"]) & corpus_hashes)
+
+
+def test_compression_ratio_semantics(spark):
+    """Repetitive text compresses far below unique-ish text; empty text
+    yields a NULL ratio row (total); live output matches the frozen fixture
+    byte-for-byte on the golden corpus."""
+    import json
+
+    rows = [
+        (0, "spam spam spam " * 50),
+        (1, "the quick brown fox jumps over the lazy dog once only"),
+        (2, ""),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.compression_ratio(docs).collect()}
+    assert out[0]["ratio"] < 0.1 < out[1]["ratio"]
+    assert out[2]["ratio"] is None and out[2]["n_chars"] == 0
+    assert out[3]["ratio"] is None  # null text -> treated as empty, total
+
+    golden = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    live = {r["doc_id"]: (r["n_chars"], r["comp_len"])
+            for r in textops.compression_ratio(golden).collect()}
+    with open("tests/fixtures/golden/compression.jsonl") as f:
+        frozen = {d["doc_id"]: (d["n_chars"], d["comp_len"])
+                  for d in map(json.loads, f)}
+    assert live == frozen
