@@ -192,6 +192,18 @@ def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.compression_ratio(docs).orderBy("doc_id")
 
 
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrated pipeline as one oracled query: live cascade over the
+    frozen golden corpus -> failed-row drop -> exact dedup (md5 window) ->
+    token/length stats -> keep flag.  DuckDB replays the identical curation
+    SQL over the golden jsonl, hash-checking extraction + curation algebra
+    composed (``sf_dir`` deliberately unused, like extract_cascade)."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    run_extract(spark, pages).createOrReplaceTempView("_curate_articles")
+    return spark.sql(SPARK_SQL["curate_corpus"])
+
+
 def _extract_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-connector end-to-end: the golden corpus serialized to WARC
     files (Common Crawl's native format), re-read with the distributed
@@ -369,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_payload_json": _api_payload_json,
         "pdf_extract": _pdf_extract,
         "compression_ratio": _compression_ratio,
+        "curate_corpus": _curate_corpus,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
         "media_decode": _media_decode,
         "media_frame_sample": _media_frame_sample,
@@ -485,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "api_payload_json",
         "pdf_extract",
         "compression_ratio",
+        "curate_corpus",
         "media_decode",
         "media_frame_sample",
         "media_embed_ann",

@@ -1842,3 +1842,53 @@ FROM read_json('{_os.path.join(_FIXTURE_DIR, "compression.jsonl")}',
                          'comp_len': 'BIGINT'}})
 ORDER BY doc_id
 """
+
+# --- end-to-end corpus curation (extraction feeding the training-data ops) ----
+# The integrated product story as ONE query: cascade output -> drop failed
+# rows -> exact-dedup by content hash (window, first-url representative) ->
+# token/length stats -> keep/drop flag.  The Spark side runs the LIVE
+# cascade over the frozen sf0.001 corpus and registers it as
+# _curate_articles; DuckDB replays the identical curation SQL over the
+# golden jsonl — so the extraction engines AND the downstream curation
+# algebra are hash-checked as a single composed pipeline.  Scale shape: the
+# cascade's one UDF pass, then one window shuffle on md5(text); stats are
+# map-side expressions.
+SPARK_SQL["curate_corpus"] = """
+WITH ok AS (
+  SELECT url, text, method FROM _curate_articles WHERE error IS NULL),
+d AS (
+  SELECT url, method, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY url) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM ok),
+s AS (
+  SELECT url, method, CAST(n_copies AS BIGINT) AS n_copies,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(size(split(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM d WHERE rn = 1)
+SELECT url, method, n_copies, n_chars, n_tokens,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+       n_tokens >= 128 AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0 AS keep
+FROM s
+ORDER BY url
+"""
+DUCK_SQL["curate_corpus"] = f"""
+WITH ok AS (
+  SELECT url, text, method FROM {_GOLDEN_VIEW} WHERE error IS NULL),
+d AS (
+  SELECT url, method, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY url) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM ok),
+s AS (
+  SELECT url, method, CAST(n_copies AS BIGINT) AS n_copies,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM d WHERE rn = 1)
+SELECT url, method, n_copies, n_chars, n_tokens,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token,
+       n_tokens >= 128 AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0 AS keep
+FROM s
+ORDER BY url
+"""

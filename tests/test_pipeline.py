@@ -310,3 +310,18 @@ def test_extract_run_all_ok_keeps_both_partition_paths_readable(spark, tmp_path)
     assert articles.count() == len(ids)
     assert quarantine.count() == 0
     assert quarantine.schema == articles.schema
+
+
+def test_curate_corpus_every_stage_bites(spark):
+    """The composed curation query (cascade -> error filter -> exact dedup
+    -> quality flag) must exercise every stage on the golden corpus: 34
+    rows error-filtered, one duplicate-text cluster collapsed, one short
+    doc flagged for drop.  Pinned so a future engine/threshold change that
+    silently disables a stage fails loudly."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod._curate_corpus(spark, "unused").toPandas()
+    assert len(out) == 466
+    assert int((out["n_copies"] > 1).sum()) == 1
+    assert int((~out["keep"]).sum()) == 1
+    assert (out[~out["keep"]]["n_tokens"] < 128).all()
