@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _sql("quality_score"),
         "pii_scrub": _sql("pii_scrub"),
         "sample_hash_fraction": _sql("sample_hash_fraction"),
+        "stratified_sample": _sql("stratified_sample"),
+        "corpus_length_profile": _sql("corpus_length_profile"),
         "vocab_topk": _sql("vocab_topk"),
         "host_cap_topn": _sql("host_cap_topn"),
         "decontaminate": _sql("decontaminate"),
@@ -517,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score",
         "pii_scrub",
         "sample_hash_fraction",
+        "stratified_sample",
+        "corpus_length_profile",
         "vocab_topk",
         "host_cap_topn",
         "decontaminate",

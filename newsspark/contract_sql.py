@@ -1892,3 +1892,95 @@ SELECT url, method, n_copies, n_chars, n_tokens,
 FROM s
 ORDER BY url
 """
+
+# --- stratified sampling (exact per-stratum quotas) ---------------------------
+# Balanced data-mix sampling: take EXACTLY ceil(10%) of each language's
+# docs, chosen by content-hash order — deterministic (no RNG), reproducible
+# across runs/engines, and quota-exact where Bernoulli sampling
+# (sample_hash_fraction) only hits the rate in expectation.  Scale shape:
+# one window shuffle on the stratum key; the hash sort key spreads ties
+# uniformly.  Quota arithmetic stays integer ((n+9)/10 floor = ceil(n/10))
+# so no float boundary can flip a row.
+_dual(
+    "stratified_sample",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(concat(text, CAST(doc_id AS STRING))),
+                                     doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(rn AS BIGINT) AS sample_rank,
+       CAST(n_lang AS BIGINT) AS n_lang
+FROM ranked
+WHERE rn * 10 <= n_lang + 9
+ORDER BY doc_id
+""",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(text || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(rn AS BIGINT) AS sample_rank,
+       CAST(n_lang AS BIGINT) AS n_lang
+FROM ranked
+WHERE rn * 10 <= n_lang + 9
+ORDER BY doc_id
+""",
+)
+
+# --- corpus length profile (exact discrete percentiles per language) ----------
+# Data-profiling: per-language doc-length distribution — n_docs, min/max,
+# and EXACT discrete p50/p90 token counts.  Percentiles via integer rank
+# arithmetic (rank == floor((k*n + k)/10) style), NOT the engines' builtin
+# quantile functions, whose interpolation/rounding conventions differ
+# (Spark percentile interpolates, DuckDB CAST(2.5 AS BIGINT) rounds-to-even
+# — both cross-engine traps).  One window + one agg shuffle on lang.
+_dual(
+    "corpus_length_profile",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(size(split(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM t)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       max(CASE WHEN rn * 2 = n OR rn * 2 = n + 1 THEN n_tokens END)
+         AS p50_tokens,
+       max(CASE WHEN rn * 10 = n * 9 OR (rn - 1) * 10 < n * 9
+                     AND rn * 10 > n * 9 THEN n_tokens END) AS p90_tokens
+FROM r GROUP BY lang
+ORDER BY lang
+""",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+r AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM t)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       max(CASE WHEN rn * 2 = n OR rn * 2 = n + 1 THEN n_tokens END)
+         AS p50_tokens,
+       max(CASE WHEN rn * 10 = n * 9 OR (rn - 1) * 10 < n * 9
+                     AND rn * 10 > n * 9 THEN n_tokens END) AS p90_tokens
+FROM r GROUP BY lang
+ORDER BY lang
+""",
+)

@@ -553,3 +553,38 @@ def test_compression_ratio_semantics(spark):
         frozen = {d["doc_id"]: (d["n_chars"], d["comp_len"])
                   for d in map(json.loads, f)}
     assert live == frozen
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """Every language stratum contributes EXACTLY ceil(n_lang/10) docs —
+    quota-exact where Bernoulli sampling only hits the rate in
+    expectation — and re-running yields the identical sample (no RNG)."""
+    _views(spark)
+    a = spark.sql(SPARK_SQL["stratified_sample"]).toPandas()
+    b = spark.sql(SPARK_SQL["stratified_sample"]).toPandas()
+    assert a.values.tolist() == b.values.tolist()
+    per_lang = a.groupby("lang").agg(n=("doc_id", "size"),
+                                     n_lang=("n_lang", "max"))
+    for _, row in per_lang.iterrows():
+        assert row["n"] == -(-row["n_lang"] // 10)
+
+
+def test_corpus_length_profile_matches_numpy(spark):
+    """The rank-arithmetic percentiles equal the lower-median / ceil-rank
+    discrete percentiles computed directly."""
+    import math
+
+    _views(spark)
+    out = {r["lang"]: r
+           for r in spark.sql(SPARK_SQL["corpus_length_profile"]).collect()}
+    docs = spark.sql(
+        "SELECT lang, size(split(trim(lower(text)), '\\s+')) AS n FROM documents"
+    ).toPandas()
+    for lang, grp in docs.groupby("lang"):
+        xs = sorted(grp["n"])
+        n = len(xs)
+        assert out[lang]["n_docs"] == n
+        assert out[lang]["p50_tokens"] == xs[(n + 1) // 2 - 1]  # lower median
+        assert out[lang]["p90_tokens"] == xs[math.ceil(0.9 * n) - 1]
+        assert out[lang]["min_tokens"] == xs[0]
+        assert out[lang]["max_tokens"] == xs[-1]
