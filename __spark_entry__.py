@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_fraction": _sql("sample_hash_fraction"),
         "stratified_sample": _sql("stratified_sample"),
         "corpus_length_profile": _sql("corpus_length_profile"),
+        "bm25_topk": _sql("bm25_topk"),
         "vocab_topk": _sql("vocab_topk"),
         "host_cap_topn": _sql("host_cap_topn"),
         "decontaminate": _sql("decontaminate"),
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_fraction",
         "stratified_sample",
         "corpus_length_profile",
+        "bm25_topk",
         "vocab_topk",
         "host_cap_topn",
         "decontaminate",

@@ -1984,3 +1984,65 @@ FROM r GROUP BY lang
 ORDER BY lang
 """,
 )
+
+# --- BM25 keyword scoring (search / eval-set mining over the corpus) ----------
+# Okapi BM25 over a fixed 3-term query — the keyword-retrieval op a
+# training-data pipeline uses for eval-set mining and targeted filtering.
+# Float discipline: idf = ln of exact-BIGINT ratios (bit-identical, like
+# unigram_logprob_buckets); per-term scores combine by EXPLICIT addition in
+# a fixed term order (s1 + s2 + s3) — never SUM over a join, whose
+# accumulation order is engine-dependent; every numeric literal is CAST to
+# DOUBLE because bare decimal literals are DECIMAL-typed in both engines
+# with different promotion rules.  Scale shape: tf/dl are map-side
+# expressions; avgdl is one tiny agg broadcast back; one final top-k sort.
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def _bm25_sql(tok_expr: str, size_fn: str, filter_fn: str) -> str:
+    per_term = []
+    for i, term in enumerate(_BM25_TERMS):
+        per_term.append(
+            f"CAST({size_fn}({filter_fn}(toks, x -> x = '{term}')) AS BIGINT)"
+            f" AS tf_{i}"
+        )
+    tf_cols = ",\n         ".join(per_term)
+    score_terms = " + ".join(
+        f"""(ln((CAST(n_docs - df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+         * (CAST(tf_{i} AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+         / (CAST(tf_{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)
+            * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))"""
+        for i in range(len(_BM25_TERMS))
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tok_expr} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, CAST({size_fn}(toks) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM t),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM tf)
+SELECT doc_id, dl, tf_0, tf_1, tf_2,
+       round({score_terms}, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE tf_0 + tf_1 + tf_2 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+_dual(
+    "bm25_topk",
+    _bm25_sql("split(trim(lower(text)), '\\s+')", "size", "filter"),
+    _bm25_sql(r"regexp_split_to_array(trim(lower(text)), '\s+')", "len",
+              "list_filter"),
+)

@@ -170,3 +170,53 @@ def test_stream_hourly_counts_converges_to_batch(spark, tmp_path):
         ("2024-03-01 02:00:00", "click"): (1, 0.75),
     }
     assert got == expected  # sentinel window absent: never closed
+
+
+def test_stream_hourly_counts_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart recovery for the windowed agg: a first query drains
+    the base wave and stops; a NEW query on the SAME checkpoint ingests the
+    late wave + sentinel.  Window state must survive the restart — late
+    events merge into windows opened before the kill, each window still
+    emits exactly once, and the converged sink equals the batch GROUP BY."""
+    from pyspark.sql import functions as F
+
+    from newsspark.streaming import stream_hourly_counts
+
+    ddl = ("event_id long, ts string, user_id long, event_type string, "
+           "value double, props string")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ddl).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    ev_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("ev", "out", "ck"))
+    base = mk([
+        (1, "2024-03-01 00:10:00", 1, "click", 1.0, "{}"),
+        (2, "2024-03-01 01:20:00", 2, "view", 2.0, "{}"),
+    ])
+    base.repartition(1).write.mode("append").parquet(ev_dir)
+    q1 = stream_hourly_counts(spark, ev_dir, out_dir, ckpt)
+    assert q1.awaitTermination(300)
+    # nothing can have emitted yet: watermark trails max event time by 72h
+    import os
+    emitted = [f for f in os.listdir(out_dir) if f.endswith(".parquet")] \
+        if os.path.isdir(out_dir) else []
+    assert spark.read.parquet(out_dir).count() == 0 if emitted else True
+
+    late = mk([(3, "2024-03-01 00:40:00", 3, "click", 4.0, "{}")])
+    sentinel = mk([(-1, "2024-03-20 00:00:00", 0, "sentinel", 0.0, "{}")])
+    late.repartition(1).write.mode("append").parquet(ev_dir)
+    sentinel.repartition(1).write.mode("append").parquet(ev_dir)
+    q2 = stream_hourly_counts(spark, ev_dir, out_dir, ckpt)  # RESTART
+    assert q2.awaitTermination(300)
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"],
+                                                    r["total_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("2024-03-01 00:00:00", "click"): (2, 5.0),  # late merged post-restart
+        ("2024-03-01 01:00:00", "view"): (1, 2.0),
+    }

@@ -588,3 +588,45 @@ def test_corpus_length_profile_matches_numpy(spark):
         assert out[lang]["p90_tokens"] == xs[math.ceil(0.9 * n) - 1]
         assert out[lang]["min_tokens"] == xs[0]
         assert out[lang]["max_tokens"] == xs[-1]
+
+
+def test_bm25_topk_matches_reference_impl(spark):
+    """The SQL BM25 over a planted corpus equals a direct Python Okapi
+    implementation (k1=1.2, b=0.75, same +1 idf smoothing), including the
+    tie-broken top-k order."""
+    import math
+
+    rows = [
+        (0, "spark spark spark window merge"),
+        (1, "spark window"),
+        (2, "merge merge merge merge"),
+        (3, "nothing relevant here"),
+        (4, "window window spark merge merge"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    out = spark.sql(SPARK_SQL["bm25_topk"]).collect()
+
+    docs = {d: t.split() for d, t in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    terms = ("spark", "window", "merge")
+    df = {q: sum(1 for t in docs.values() if q in t) for q in terms}
+
+    def bm25(doc_id):
+        toks = docs[doc_id]
+        dl = len(toks)
+        s = 0.0
+        for q in terms:
+            tf = toks.count(q)
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return round(s, 6)
+
+    expected = sorted(
+        ((d, bm25(d)) for d in docs if any(q in docs[d] for q in terms)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [(r["doc_id"], r["bm25"]) for r in out] == expected
+    assert all(r["doc_id"] != 3 for r in out)  # no-hit doc excluded
