@@ -1623,6 +1623,11 @@ ORDER BY doc_id
 # tiebreak.  Scale shape: one token-agg shuffle for the LM (tiny — vocab
 # scale), broadcast-join the LM back, one groupBy doc_id; the LM table at
 # web scale is millions of rows, still broadcastable after a min-count cut.
+# The final ntile is a GLOBAL total order (one sorted partition) — correct
+# for the oracle, but at 100 TB the production cut uses the two-pass
+# distributed-selection pattern instead (find the n/3 and 2n/3 order
+# statistics via a score-histogram pass, then bucket map-side — the same
+# machinery as textops.stratified_sample's hash-prefix selection).
 _dual(
     "unigram_logprob_buckets",
     """

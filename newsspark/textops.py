@@ -1116,3 +1116,95 @@ def compression_ratio(docs: DataFrame, level: int = 6,
     return docs.select("doc_id", text_col).mapInPandas(
         run, schema=COMPRESSION_DDL
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    numerator: int = 1,
+    denominator: int = 10,
+    bucket_hex_chars: int = 4,
+) -> DataFrame:
+    """Exact-quota stratified sampling at scale: take exactly
+    ceil(n * numerator/denominator) docs per stratum, chosen by
+    content-hash order (md5(text || doc_id) — deterministic, RNG-free).
+
+    The SQL twin ("stratified_sample" in contract_sql.py) ranks each whole
+    stratum with one row_number window — a single sorted partition per
+    stratum, which at 100 TB makes a 90%-one-language corpus a straggler.
+    This production path is the classic TWO-PASS DISTRIBUTED SELECTION
+    instead:
+
+      1. histogram pass — count docs per (stratum, hash-prefix bucket):
+         16^bucket_hex_chars uniform buckets, map-side partial agg, so the
+         shuffle carries at most strata x buckets tiny rows;
+      2. cut — a running sum over the per-stratum bucket counts (a window
+         over <=65k TINY rows per stratum, never over docs) finds the one
+         bucket containing the quota-th smallest hash;
+      3. boundary pass — ONLY that bucket's rows (expected n/65536 per
+         stratum) are ranked to split the quota exactly; every earlier
+         bucket is taken whole, map-side.
+
+    No full-stratum sort ever happens; the heavy data is touched by two
+    map-side passes and one tiny window.  Output = the SQL twin's rows
+    EXACTLY (same hash order, same tie-break), pinned in
+    tests/test_textops.py.
+    """
+    from pyspark.sql import Window
+
+    frac_num, frac_den = int(numerator), int(denominator)
+    h = F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, bucket_hex_chars), 16, 10).cast("long")
+    hashed = docs.select(
+        "doc_id", F.col(strata_col), h.alias("h"), bucket.alias("bkt")
+    )
+
+    counts = hashed.groupBy(strata_col, "bkt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(strata_col)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        strata_col, "bkt", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+    )
+    totals = counts.groupBy(strata_col).agg(F.sum("c").alias("n_lang"))
+    # integer ceil(n * num / den): no float boundary can flip a quota
+    quota = (
+        (F.col("n_lang") * frac_num + frac_den - 1) / frac_den
+    ).cast("long")
+    cut = (
+        cum.join(totals, strata_col)
+        .withColumn("quota", quota)
+        .where((F.col("cum_before") < F.col("quota"))
+               & (F.col("cum") >= F.col("quota")))
+        .select(strata_col, F.col("bkt").alias("cut_bkt"),
+                (F.col("quota") - F.col("cum_before")).alias("take_in_cut"),
+                "n_lang")
+    )
+
+    joined = hashed.join(F.broadcast(cut), strata_col)
+    full = joined.where(F.col("bkt") < F.col("cut_bkt"))
+    w_rank = Window.partitionBy(strata_col).orderBy("h", "doc_id")
+    boundary = (
+        joined.where(F.col("bkt") == F.col("cut_bkt"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= F.col("take_in_cut"))
+        .drop("rnk")
+    )
+    picked = full.unionByName(boundary).select(
+        "doc_id", strata_col, "h", "n_lang"
+    )
+    # sample_rank = rank within the WHOLE stratum by (h, doc_id) — equals
+    # the SQL twin's row_number because the selected set is exactly the
+    # quota smallest hashes, so ranking the selection alone is enough
+    w_sel = Window.partitionBy(strata_col).orderBy("h", "doc_id")
+    return picked.select(
+        "doc_id", F.col(strata_col),
+        F.row_number().over(w_sel).cast("long").alias("sample_rank"),
+        F.col("n_lang").cast("long").alias("n_lang"),
+    ).orderBy("doc_id")

@@ -630,3 +630,33 @@ def test_bm25_topk_matches_reference_impl(spark):
     )
     assert [(r["doc_id"], r["bm25"]) for r in out] == expected
     assert all(r["doc_id"] != 3 for r in out)  # no-hit doc excluded
+
+
+def test_stratified_sample_scalable_equals_window_twin(spark):
+    """The two-pass distributed-selection sampler must return EXACTLY the
+    window-ranked SQL twin's rows (same hashes selected, same ranks) — and
+    its plan must never sort a whole stratum of docs (the row_number over
+    the full stratum exists only in the tiny boundary bucket and the
+    already-selected quota rows)."""
+    _views(spark)
+    a = _pdf_sorted(textops.stratified_sample(
+        spark.read.parquet(f"{SF}/documents.parquet")))
+    b = _pdf_sorted(spark.sql(SPARK_SQL["stratified_sample"]))
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_stratified_sample_scalable_skewed_stratum(spark):
+    """A 90%-one-stratum corpus still yields exact per-stratum quotas, and
+    the boundary window touches only one hash bucket of the hot stratum."""
+    rows = [(i, f"text body number {i} {'x' * (i % 7)}",
+             "en" if i % 10 != 0 else f"l{i % 3}") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.stratified_sample(docs).toPandas()
+    sizes = out.groupby("lang")["doc_id"].size().to_dict()
+    truth = docs.groupBy("lang").count().collect()
+    for r in truth:
+        assert sizes.get(r["lang"], 0) == -(-r["count"] // 10)
+    # ranks are 1..quota per stratum, no gaps
+    for lang, grp in out.groupby("lang"):
+        assert sorted(grp["sample_rank"]) == list(range(1, len(grp) + 1))
