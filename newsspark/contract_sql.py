@@ -266,7 +266,12 @@ _TOK_SPARK = "split(trim(lower(text)), '\\s+')"
 _TOK_DUCK = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 # BPE-ish pretokenizer (textops.BPE_SPLIT_RE) as a SQL literal: apostrophe
 # doubled for the string literal; backslashes verbatim in BOTH engines
-# (Spark views run with escapedStringLiterals=true)
+# (Spark views run with escapedStringLiterals=true).
+# Parity boundary (found by cross-engine fuzzing): \p{L}/\p{N} follow each
+# engine's Unicode table — Java 17 ships Unicode 13, DuckDB's RE2 a newer
+# version — so codepoints ASSIGNED IN UNICODE 14+ (e.g. U+11AB0) classify
+# differently.  Real web text is overwhelmingly version-stable scripts;
+# the fuzz generator and this contract scope parity to those.
 _BPE_SQL = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 _dual(
@@ -1614,11 +1619,14 @@ ORDER BY doc_id
 # frequency), score every document by mean token log-probability, and cut
 # the corpus into terciles (head / middle / tail) with ntile — the CCNet
 # quality-stratification shape, with the corpus LM standing in for the
-# external KenLM.  Float discipline: ln(n/total) of exact BIGINT ratios is
-# bit-identical across engines (verified empirically on this corpus); the
-# per-doc SUM is the order trap, so both sides fold token log-probs in
-# POSITION order with the same 0.0 seed (Spark aggregate over the
-# pos-sorted collect_list; DuckDB list_reduce over list(... ORDER BY pos)).
+# external KenLM.  Float discipline: ln is NOT guaranteed bit-identical
+# across engines (JVM StrictMath vs C libm disagree by 1 ulp on some
+# arguments — found by the cross-engine fuzz, not by the fixture corpus),
+# so every cross-engine comparison happens on round(...,6) values,
+# INCLUDING the ntile sort key below; the per-doc SUM is the order trap, so
+# both sides fold token log-probs in POSITION order with the same 0.0 seed
+# (Spark aggregate over the pos-sorted collect_list; DuckDB list_reduce
+# over list(... ORDER BY pos)).
 # ntile orders by the bit-exact unrounded mean with doc_id as total-order
 # tiebreak.  Scale shape: one token-agg shuffle for the LM (tiny — vocab
 # scale), broadcast-join the LM back, one groupBy doc_id; the LM table at
@@ -1651,7 +1659,8 @@ perdoc AS (
   FROM scored GROUP BY doc_id)
 SELECT doc_id, n_tokens,
        round(avg_lp, 6) AS avg_logprob,
-       CAST(ntile(3) OVER (ORDER BY avg_lp, doc_id) AS BIGINT) AS bucket
+       CAST(ntile(3) OVER (ORDER BY round(avg_lp, 6), doc_id) AS BIGINT)
+         AS bucket
 FROM perdoc
 ORDER BY doc_id
 """,
@@ -1676,7 +1685,8 @@ perdoc AS (
   FROM scored GROUP BY doc_id)
 SELECT doc_id, n_tokens,
        round(avg_lp, 6) AS avg_logprob,
-       CAST(ntile(3) OVER (ORDER BY avg_lp, doc_id) AS BIGINT) AS bucket
+       CAST(ntile(3) OVER (ORDER BY round(avg_lp, 6), doc_id) AS BIGINT)
+         AS bucket
 FROM perdoc
 ORDER BY doc_id
 """,
@@ -1689,9 +1699,11 @@ ORDER BY doc_id
 # every 3rd doc re-arrives byte-identical (a true re-crawl duplicate, must
 # be dropped), the rest arrive with a ' v2' revision suffix (content-new,
 # must pass).  Scale shape: hash the text once per side, LEFT ANTI JOIN on
-# the digest — one shuffle on a uniform key; at 100 TB the snapshot side
-# feeds a bloom-filter pushdown first so the shuffle only carries probable
-# news (the classic two-tier membership check).
+# the digest — one shuffle on a uniform key; the two-tier membership check
+# (bloom pre-filter before the shuffle) is Catalyst's own runtime
+# bloom-filter join pruning (spark.sql.optimizer.runtime.bloomFilter.
+# enabled, on by default in Spark 4) — no hand-rolled filter needed, the
+# declarative anti-join IS the scale plan.
 _dual(
     "incremental_new_docs",
     """
