@@ -96,7 +96,7 @@ def _compare(spark, pdf, names):
         )
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(pdf=_corpus())
 def test_contract_twins_agree_on_arbitrary_corpora(spark, pdf):
