@@ -121,3 +121,91 @@ def test_contract_twins_agree_on_planted_edge_corpus(spark):
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     ).astype({"doc_id": "int64", "n_chars": "int64"})
     _compare(spark, pdf, FUZZ_QUERIES)
+
+
+# --- events-table queries (joins / windows / time arithmetic) ----------------
+
+EVENTS_FUZZ_QUERIES = (
+    "events_hourly",
+    "events_sessionize",
+    "asof_join",
+    "range_join",
+)
+
+_etypes = st.sampled_from(["click", "view", "purchase", "signup", "error"])
+
+
+@st.composite
+def _events_corpus(draw):
+    n = draw(st.integers(min_value=4, max_value=40))
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(n):
+        # clustered timestamps with frequent exact ties (second precision):
+        # ties across users, across event types, and same-user same-ts are
+        # exactly the cases where window order / asof inclusivity can
+        # diverge between engines
+        ts = base + pd.Timedelta(
+            seconds=draw(st.integers(min_value=0, max_value=3 * 86400)) -
+            (draw(st.integers(min_value=0, max_value=59))
+             if draw(st.booleans()) else 0)
+        )
+        rows.append((
+            i,
+            ts,
+            draw(st.integers(min_value=1, max_value=4)),  # few users: collisions
+            draw(_etypes),
+            draw(st.integers(min_value=-10**6, max_value=10**6)) / 100.0,
+            "{}",
+        ))
+    return pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).astype({"event_id": "int64", "user_id": "int64"})
+
+
+def _compare_events(spark, pdf, names):
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.register("events", pdf)
+    for name in names:
+        spdf = spark.sql(SPARK_SQL[name]).toPandas()
+        opdf = con.execute(DUCK_SQL[name]).df()
+        scols, srows = frame_key(spdf)
+        ocols, orows = frame_key(opdf)
+        assert scols == ocols, (name, scols, ocols)
+        assert srows == orows, (
+            name,
+            [r for r in srows if r not in orows][:3],
+            [r for r in orows if r not in srows][:3],
+        )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pdf=_events_corpus())
+def test_events_twins_agree_on_arbitrary_corpora(spark, pdf):
+    _compare_events(spark, pdf, EVENTS_FUZZ_QUERIES)
+
+
+def test_events_twins_agree_on_planted_tie_corpus(spark):
+    """Deterministic tie-heavy corpus: same-user same-second events across
+    types (asof inclusive boundary + sessionize order), duplicate
+    purchases at one instant (the max() pre-reduce), and a window-edge
+    purchase exactly 1h away."""
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        (0, base, 1, "click", 1.00, "{}"),
+        (1, base, 1, "purchase", 2.00, "{}"),           # tie with click
+        (2, base, 1, "purchase", 3.00, "{}"),           # dup instant purchase
+        (3, base + pd.Timedelta(hours=1), 1, "click", 4.00, "{}"),  # +1h edge
+        (4, base - pd.Timedelta(hours=1), 1, "purchase", 5.00, "{}"),
+        (5, base, 2, "click", 6.00, "{}"),              # other user, no rights
+        (6, base + pd.Timedelta(seconds=1), 1, "click", 7.00, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).astype({"event_id": "int64", "user_id": "int64"})
+    _compare_events(spark, pdf, EVENTS_FUZZ_QUERIES)
