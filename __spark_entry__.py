@@ -262,12 +262,16 @@ def _stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="newsspark_stream_dedup_")
     try:
         pages_dir, out_dir, ckpt = f"{root}/pages", f"{root}/out", f"{root}/ckpt"
-        for lo, hi in ((0, 200), (100, 300)):
+        from newsspark.streaming import stamp_wave_order
+
+        stamped: set = set()
+        for k, (lo, hi) in enumerate(((0, 200), (100, 300))):
             wave = [(d, t) for d, t in docs if lo <= d < hi]
             pdf = pages_pdf([d for d, _ in wave], [t for _, t in wave])
             spark.createDataFrame(
                 pdf[["url", "warc_ts", "html", "text", "lang", "archetype"]]
             ).write.mode("append").parquet(pages_dir)
+            stamp_wave_order(pages_dir, k, stamped)
         q = stream_dedup_urls(
             spark, pages_dir, out_dir, ckpt, max_files_per_trigger=64
         )
@@ -323,10 +327,14 @@ def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, ts string, user_id long, event_type string, "
             "value double, props string",
         ).withColumn("ts", F.col("ts").cast("timestamp"))
-        for wave in (base, late, sentinel):
+        from newsspark.streaming import stamp_wave_order
+
+        stamped: set = set()
+        for k, wave in enumerate((base, late, sentinel)):
             wave.select(
                 "event_id", "ts", "user_id", "event_type", "value", "props"
             ).repartition(1).write.mode("append").parquet(ev_dir)
+            stamp_wave_order(ev_dir, k, stamped)
         q = stream_hourly_counts(spark, ev_dir, out_dir, ckpt)
         if not q.awaitTermination(600):
             q.stop()

@@ -1627,8 +1627,8 @@ ORDER BY doc_id
 # both sides fold token log-probs in POSITION order with the same 0.0 seed
 # (Spark aggregate over the pos-sorted collect_list; DuckDB list_reduce
 # over list(... ORDER BY pos)).
-# ntile orders by the bit-exact unrounded mean with doc_id as total-order
-# tiebreak.  Scale shape: one token-agg shuffle for the LM (tiny — vocab
+# ntile orders by the ROUNDED mean with doc_id as total-order tiebreak
+# (sorting on the unrounded mean was the 1-ulp flip the fuzz caught).  Scale shape: one token-agg shuffle for the LM (tiny — vocab
 # scale), broadcast-join the LM back, one groupBy doc_id; the LM table at
 # web scale is millions of rows, still broadcastable after a min-count cut.
 # The final ntile is a GLOBAL total order (one sorted partition) — correct
@@ -1763,14 +1763,19 @@ u AS (
          CAST(NULL AS DOUBLE) AS value, rval, ts AS rts
   FROM rights),
 c AS (
+  -- the matched right ROW carried as ONE struct (null only when no right
+  -- row yet), so a NULL rval arrives as (its rts, NULL) exactly like
+  -- DuckDB's native ASOF — independent per-column carries would pair the
+  -- newest rts with an older non-null rval
   SELECT user_id, ts, is_left, event_id, value,
-         last_value(rval, true) OVER w AS purchase_value,
-         last_value(rts, true) OVER w AS purchase_ts
+         last_value(CASE WHEN is_left = 0
+                         THEN named_struct('rts', rts, 'rval', rval) END,
+                    true) OVER w AS asof
   FROM u
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_id, user_id, CAST(ts AS STRING) AS ts, value,
-       CAST(purchase_ts AS STRING) AS purchase_ts, purchase_value
+       CAST(asof.rts AS STRING) AS purchase_ts, asof.rval AS purchase_value
 FROM c WHERE is_left = 1
 ORDER BY event_id
 """,
@@ -1846,14 +1851,16 @@ ORDER BY event_id, r_ts, r_value
 # zlib, so the oracle replays the FROZEN fixture (the media-embeddings
 # freeze contract): scripts/freeze_compression.py pins (doc_id, n_chars,
 # comp_len) over the fixed sf0.001 documents table, DuckDB recomputes the
-# ratio arithmetic (exact-int division + round(,6) — bit-identical), and a
+# ratio arithmetic (UNROUNDED exact-int division — one correctly rounded
+# IEEE op, bit-identical; round(,6) would NOT be: pandas half-even vs
+# DuckDB half-away disagree at exact ties like 93/128), and a
 # pytest pins the live output to the fixture with no tolerance.
 DUCK_SQL["compression_ratio"] = f"""
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(comp_len AS BIGINT) AS comp_len,
        CASE WHEN n_chars > 0
-            THEN round(CAST(comp_len AS DOUBLE) / n_chars, 6) END AS ratio
+            THEN CAST(comp_len AS DOUBLE) / n_chars END AS ratio
 FROM read_json('{_os.path.join(_FIXTURE_DIR, "compression.jsonl")}',
                columns={{'doc_id': 'BIGINT', 'n_chars': 'BIGINT',
                          'comp_len': 'BIGINT'}})

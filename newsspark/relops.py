@@ -73,33 +73,38 @@ def asof_join(
         .orderBy(ts_col, "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the matched right ROW as ONE struct, never per-column
+    # independent last(ignorenulls) carries: a right row with a NULL value
+    # column must yield (its ts, NULL) — exactly what DuckDB's native ASOF
+    # returns — not a Frankenstein pairing of the newest ts with an older
+    # row's value.  The struct is non-null whenever a right row exists,
+    # even when its fields are null, so one ignorenulls carry moves the
+    # whole row atomically.
+    r_struct = F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.col("_r_ts").alias("_ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        ),
+    )
     carried = marked_left.unionByName(marked_right).select(
-        "*",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(r_struct, ignorenulls=True).over(w).alias("_asof")
     )
     out = carried.where(F.col("_is_left") == 1)
+    asof_ts = F.col("_asof._ts")
     if tolerance is not None:
-        stale = F.col("asof_ts") < (F.col(ts_col) - tolerance)
-        out = out.select(
-            *left_cols,
-            F.when(stale, F.lit(None)).otherwise(F.col("asof_ts"))
-            .alias("asof_ts"),
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(f"asof_{c}"))
-                .alias(f"asof_{c}")
-                for c in right_cols
-            ],
-        )
+        stale = asof_ts < (F.col(ts_col) - tolerance)
+        sel_ts = F.when(stale, F.lit(None)).otherwise(asof_ts)
+        sel_cols = [
+            F.when(stale, F.lit(None)).otherwise(F.col(f"_asof.{c}"))
+            .alias(f"asof_{c}")
+            for c in right_cols
+        ]
     else:
-        out = out.select(
-            *left_cols, "asof_ts", *[F.col(f"asof_{c}").alias(f"asof_{c}")
-                                     for c in right_cols]
-        )
-    return out
+        sel_ts = asof_ts
+        sel_cols = [F.col(f"_asof.{c}").alias(f"asof_{c}")
+                    for c in right_cols]
+    return out.select(*left_cols, sel_ts.alias("asof_ts"), *sel_cols)
 
 
 def range_join(

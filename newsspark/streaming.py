@@ -49,7 +49,10 @@ def stream_extract(
         articles = run_extract(
             batch_df.sparkSession, batch_df, num_partitions=num_partitions
         )
-        articles.write.mode("append").parquet(out_dir)
+        # epoch-keyed overwrite, not append: foreachBatch is at-least-once
+        # and a crash between parquet commit and checkpoint offset write
+        # replays the epoch — see epoch_idempotent_writer
+        articles.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -190,15 +193,14 @@ def stream_dedup_urls(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # foreachBatch -> parquet append: update-mode rows land as a change
-    # feed, and (unlike the memory sink) the query can RECOVER from its
-    # checkpoint — restarts resume the url state instead of re-emitting.
-    def write_batch(batch_df, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
+    # foreachBatch -> epoch-keyed parquet: update-mode rows land as a
+    # change feed, the query RECOVERS from its checkpoint (restarts resume
+    # the url state instead of re-emitting), and an epoch REPLAY after a
+    # crash overwrites its own partition instead of duplicating the feed
+    # (epoch_idempotent_writer).
     return (
         deduped.writeStream.outputMode("update")
-        .foreachBatch(write_batch)
+        .foreachBatch(epoch_idempotent_writer(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -264,13 +266,58 @@ def stream_hourly_counts(
         )
     )
 
-    def write_batch(batch_df, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
-
     return (
         agg.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
+        .foreachBatch(epoch_idempotent_writer(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def epoch_idempotent_writer(out_dir: str):
+    """foreachBatch sink that survives epoch REPLAY: each micro-batch
+    overwrites its own ``epoch=<id>`` partition directory instead of
+    blind-appending to ``out_dir``.  foreachBatch is at-least-once — a
+    driver crash between the parquet commit and the checkpoint offset
+    write replays the epoch on restart, and an append sink would then
+    duplicate every window row of that batch (silently doubling counts).
+    Overwriting the epoch-keyed directory makes the replay a no-op, which
+    is what upgrades the pipeline's at-least-once delivery to the
+    exactly-once OUTPUT the oracle and tests assert.  Readers just scan
+    ``out_dir`` (the epoch partition column is additive)."""
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    return write_batch
+
+
+def stamp_wave_order(events_dir: str, wave_index: int, stamped: set) -> None:
+    """Pin file-source ingestion order for multi-wave test/driver feeds.
+    FileStreamSource orders new files by MODIFICATION TIME; separate append
+    jobs can land within one mtime granule (coarse network/container
+    filesystems), letting a later wave (e.g. the far-future watermark
+    sentinel) be batched before an earlier late-data wave — which would
+    drop the late events and break the convergence oracle.  Explicitly
+    stamping each wave's files with a strictly increasing mtime makes the
+    intended order a guarantee instead of a race.  Call after each wave's
+    write with the same ``stamped`` set.
+
+    Stamps are CURRENT time + wave_index — a fixed past epoch would trip
+    FileStreamSource's maxFileAge (default 7d): files much older than the
+    newest seen are silently ignored, which on a restarted checkpoint
+    (whose newest timestamp is real wall clock) drops the new waves
+    entirely."""
+    import os
+    import time
+
+    t = int(time.time()) + wave_index
+    for root, _, files in os.walk(events_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            if p not in stamped:
+                os.utime(p, (t, t))
+                stamped.add(p)

@@ -1036,6 +1036,18 @@ def dedup_lines(
     ("dedup_lines") is oracle-checked; equivalence of this builder is
     pinned in tests/test_textops.py.
     """
+    from fractions import Fraction
+
+    # EXACT threshold arithmetic: ``n_docs <= max_frac * n_total`` in
+    # doubles flips at representable boundaries (0.7 * 90 == 62.9999...,
+    # so a 63/90 line is wrongly removed) — the SQL twin's integer form
+    # (n_docs * 10 <= n_total) never can.  Convert the fraction through
+    # its decimal string so 0.1 means 1/10, then compare integer products.
+    # limit_denominator bounds the product below int64 for any real corpus
+    # (den <= 1e4, n_total <= ~9e14 stays exact).
+    frac = Fraction(str(max_frac)).limit_denominator(10_000)
+    f_num, f_den = frac.numerator, frac.denominator
+
     spark = docs.sparkSession
     lines = docs.select(
         "doc_id",
@@ -1050,8 +1062,7 @@ def dedup_lines(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "keep",
-            F.col("n_docs").cast("double")
-            <= F.lit(float(max_frac)) * F.col("n_total").cast("double"),
+            F.col("n_docs") * F.lit(f_den) <= F.col("n_total") * F.lit(f_num),
         )
     )
     kept_structs = F.array_sort(
@@ -1108,9 +1119,14 @@ def compression_ratio(docs: DataFrame, level: int = 6,
                 "comp_len": pd.Series(comp, dtype="int64",
                                       index=texts.index),
             })
+            # UNROUNDED on purpose: int64/int64 division is one correctly
+            # rounded IEEE op, bit-identical in every engine — while
+            # pandas .round(6) is half-even and DuckDB round() is
+            # half-away-from-zero, which disagree at exact ties (e.g.
+            # 93/128 = 0.7265625)
             out["ratio"] = (out["comp_len"] / out["n_chars"]).where(
                 out["n_chars"] > 0
-            ).round(6)
+            )
             yield out
 
     return docs.select("doc_id", text_col).mapInPandas(

@@ -155,7 +155,8 @@ def _events_corpus(draw):
             ts,
             draw(st.integers(min_value=1, max_value=4)),  # few users: collisions
             draw(_etypes),
-            draw(st.integers(min_value=-10**6, max_value=10**6)) / 100.0,
+            (None if draw(st.integers(min_value=0, max_value=9)) == 0
+             else draw(st.integers(min_value=-10**6, max_value=10**6)) / 100.0),
             "{}",
         ))
     return pd.DataFrame(
@@ -203,6 +204,10 @@ def test_events_twins_agree_on_planted_tie_corpus(spark):
         (4, base - pd.Timedelta(hours=1), 1, "purchase", 5.00, "{}"),
         (5, base, 2, "click", 6.00, "{}"),              # other user, no rights
         (6, base + pd.Timedelta(seconds=1), 1, "click", 7.00, "{}"),
+        # NULL-value purchase NEWER than a non-null one: asof must
+        # return (its ts, NULL), never pair its ts with an older value
+        (7, base + pd.Timedelta(minutes=30), 1, "purchase", None, "{}"),
+        (8, base + pd.Timedelta(minutes=40), 1, "click", 9.00, "{}"),
     ]
     pdf = pd.DataFrame(
         rows,

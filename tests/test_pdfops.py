@@ -202,3 +202,24 @@ def test_structural_keywords_in_title(title):
     object scan — dict-level searches skip string literals."""
     r = parse_pdf(synth_pdf(0, title, "body words"))
     assert r["title"] == title and r["text"] == "body words"
+
+
+def test_indirect_length_reference_not_misread():
+    """'/Length 8 0 R' (the common indirect form) must NOT be read as a
+    literal 8-byte length — that truncated the stream payload silently.
+    Without a resolvable literal the parser falls back to the endstream
+    scan and still extracts the text."""
+    body = b"BT 72 720 Td (indirect length works) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 8 0 R >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"8 0 obj\n" + str(len(body)).encode() + b"\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    r = parse_pdf(pdf)
+    assert r["error"] is None
+    assert r["text"] == "indirect length works"
+    assert r["n_pages"] == 1

@@ -510,7 +510,7 @@ def test_unigram_logprob_buckets_semantics(spark):
     assert set(sizes) == {1, 2, 3} and max(sizes.values()) - min(sizes.values()) <= 1
     assert (out["avg_logprob"] < 0).all()
     # bucket order tracks the score: every bucket-1 doc scores <= every
-    # bucket-3 doc (ntile over the unrounded mean)
+    # bucket-3 doc (ntile over the rounded mean, doc_id tiebreak)
     assert out[out.bucket == 1]["avg_logprob"].max() <= \
         out[out.bucket == 3]["avg_logprob"].min()
 
@@ -660,3 +660,17 @@ def test_stratified_sample_scalable_skewed_stratum(spark):
     # ranks are 1..quota per stratum, no gaps
     for lang, grp in out.groupby("lang"):
         assert sorted(grp["sample_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_dedup_lines_exact_fraction_boundary(spark):
+    """63/90 docs == exactly 0.7: 'more than max_frac' is false, so the
+    line must be KEPT.  Float arithmetic said 0.7*90 == 62.999... and
+    removed it — the threshold is integer-rational now (found in review)."""
+    shared = "exactly at the 70 percent boundary"
+    rows = [(i, f"unique line {i}\n{shared}" if i < 63 else f"unique line {i}")
+            for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.dedup_lines(docs, max_frac=0.7).toPandas()
+    kept0 = out[out.doc_id == 0]["text_kept"].iloc[0]
+    assert shared in kept0  # 63*10 <= 90*7 -> kept, no float flip
+    assert (out["n_removed"] == 0).all()
