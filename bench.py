@@ -96,7 +96,9 @@ def main() -> None:
         pages = spark.read.parquet(pages_path)
         n_pages = pages.count()
         best = float("inf")
-        for _ in range(2):  # best-of-2: the host has noisy-neighbor windows
+        for _ in range(3):  # best-of-3: the host has noisy-neighbor windows
+            # (minutes-long 2x swings — a third trial materially cuts the
+            # odds every trial lands in a slow window)
             t0 = time.time()
             out = run_extract(spark, pages, num_partitions=CPUS)
             # aggregate over every output field so the UDF cannot be pruned
