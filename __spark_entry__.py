@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_topn": _sql("host_cap_topn"),
         "decontaminate": _sql("decontaminate"),
         "dedup_lines": _sql("dedup_lines"),
+        "intradoc_line_dedup": _sql("intradoc_line_dedup"),
         "mixture_weights": _sql("mixture_weights"),
         "unigram_logprob_buckets": _sql("unigram_logprob_buckets"),
         "incremental_new_docs": _sql("incremental_new_docs"),
@@ -535,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap_topn",
         "decontaminate",
         "dedup_lines",
+        "intradoc_line_dedup",
         "mixture_weights",
         "unigram_logprob_buckets",
         "incremental_new_docs",

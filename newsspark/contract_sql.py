@@ -2070,3 +2070,73 @@ _dual(
     _bm25_sql(r"regexp_split_to_array(trim(lower(text)), '\s+')", "len",
               "list_filter"),
 )
+
+# --- intra-document line dedup (repeated-paragraph removal) -------------------
+# The extraction artifact dedup_lines does NOT cover: the SAME line repeated
+# WITHIN one document (nav blocks re-rendered per section, infinite-scroll
+# re-serves, template double-includes).  Keep the first occurrence per
+# (doc, line), preserve order, rejoin.  The lined input is synthesized
+# identically in both dialects with planted intra-doc dups: slice A appears
+# twice in every doc, slice B twice in even docs.  Scale shape: ONE window
+# shuffle on (doc_id) — row_number per (doc_id, line) partitions by a key
+# strictly finer than the reassembly groupBy, so AQE coalesces both stages
+# onto one exchange; no corpus-wide state at all (contrast dedup_lines'
+# frequency table).
+_INTRADOC_SPARK = (
+    "concat_ws(chr(10), substring(text, 1, 60), substring(text, 61, 60), "
+    "substring(text, 1, 60), "
+    "CASE WHEN doc_id % 2 = 0 THEN substring(text, 61, 60) END, "
+    "concat('tail ', CAST(doc_id AS STRING)))"
+)
+_INTRADOC_DUCK = (
+    "concat_ws(chr(10), substring(text, 1, 60), substring(text, 61, 60), "
+    "substring(text, 1, 60), "
+    "CASE WHEN doc_id % 2 = 0 THEN substring(text, 61, 60) END, "
+    "concat('tail ', CAST(doc_id AS VARCHAR)))"
+)
+_dual(
+    "intradoc_line_dedup",
+    f"""
+WITH lined AS (
+  SELECT doc_id, {_INTRADOC_SPARK} AS t FROM documents),
+lines AS (
+  SELECT doc_id, pos, line
+  FROM lined LATERAL VIEW posexplode(split(t, chr(10))) x AS pos, line),
+flagged AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) = 1
+           AS keep
+  FROM lines)
+SELECT doc_id,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       array_join(transform(array_sort(collect_list(
+           CASE WHEN keep THEN named_struct('pos', pos, 'line', line) END)),
+         s -> s.line), chr(10)) AS text_kept
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    f"""
+WITH lined AS (
+  SELECT doc_id, {_INTRADOC_DUCK} AS t FROM documents),
+lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+           i -> {{'pos': i, 'line': ls[i]}})) AS u
+    FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined) b) s),
+flagged AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) = 1
+           AS keep
+  FROM lines)
+SELECT doc_id,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text_kept
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)

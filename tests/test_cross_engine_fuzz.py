@@ -34,6 +34,7 @@ FUZZ_QUERIES = (
     "sample_hash_fraction",
     "mixture_weights",
     "dedup_lines",
+    "intradoc_line_dedup",
     "stratified_sample",
     "corpus_length_profile",
     "bm25_topk",

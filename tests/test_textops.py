@@ -674,3 +674,19 @@ def test_dedup_lines_exact_fraction_boundary(spark):
     kept0 = out[out.doc_id == 0]["text_kept"].iloc[0]
     assert shared in kept0  # 63*10 <= 90*7 -> kept, no float flip
     assert (out["n_removed"] == 0).all()
+
+
+def test_intradoc_line_dedup_planted(spark):
+    """First occurrence of each repeated line survives in position order;
+    the synthesized corpus plants slice-A twice in every doc and slice-B
+    twice in even docs."""
+    _views(spark)
+    out = spark.sql(SPARK_SQL["intradoc_line_dedup"]).toPandas()
+    assert len(out) == 500
+    evens, odds = out[out.doc_id % 2 == 0], out[out.doc_id % 2 == 1]
+    assert (evens["n_removed"] == 2).all()   # A dup + B dup
+    assert (odds["n_removed"] == 1).all()    # A dup only
+    first = out[out.doc_id == 0].iloc[0]
+    lines = first["text_kept"].split("\n")
+    assert len(lines) == len(set(lines))     # no intra-doc repeats survive
+    assert lines[-1] == "tail 0"             # order preserved
