@@ -189,10 +189,12 @@ def _objects(data: bytes) -> dict[int, bytes]:
             stop=sm.start() if sm is not None else None,
         )
         if sm is not None and (end < 0 or sm.start() < end):
-            # (?!...R) rejects the common INDIRECT form "/Length 8 0 R" —
+            # (?!\d|...R) rejects the INDIRECT form "/Length 8 0 R" (the
+            # leading \d alternative stops backtracking from shortening a
+            # multi-digit object number like "123 0 R" to a fake literal) —
             # matching its "8" as a literal length silently truncated real
             # PDFs; without a resolvable literal we fall to endstream scan
-            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)",
+            lm = re.search(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)",
                            data[body_start: sm.start()])
             if lm:
                 skip_to = sm.end() + int(lm.group(1))
@@ -229,7 +231,7 @@ def _stream_bytes(obj_body: bytes) -> bytes | None:
     if not m:
         return None
     start = m.end()
-    length_m = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)",
+    length_m = re.search(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)",
                          obj_body[: m.start()])
     if length_m:
         raw = obj_body[start : start + int(length_m.group(1))]

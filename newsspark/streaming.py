@@ -51,8 +51,8 @@ def stream_extract(
         )
         # epoch-keyed overwrite, not append: foreachBatch is at-least-once
         # and a crash between parquet commit and checkpoint offset write
-        # replays the epoch — see epoch_idempotent_writer
-        articles.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        # replays the epoch — ONE implementation of that contract
+        epoch_idempotent_writer(out_dir)(articles, epoch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -1042,10 +1042,13 @@ def dedup_lines(
     # doubles flips at representable boundaries (0.7 * 90 == 62.9999...,
     # so a 63/90 line is wrongly removed) — the SQL twin's integer form
     # (n_docs * 10 <= n_total) never can.  Convert the fraction through
-    # its decimal string so 0.1 means 1/10, then compare integer products.
-    # limit_denominator bounds the product below int64 for any real corpus
-    # (den <= 1e4, n_total <= ~9e14 stays exact).
-    frac = Fraction(str(max_frac)).limit_denominator(10_000)
+    # its decimal string so 0.1 means exactly 1/10 — WITHOUT
+    # limit_denominator, which silently snapped small fractions to 0
+    # (1e-5 -> 0 meant "remove every line").  Products compare in
+    # DECIMAL(38,0) so no denominator can overflow int64.
+    frac = Fraction(str(max_frac))
+    if not 0 < frac <= 1:
+        raise ValueError(f"max_frac must be in (0, 1], got {max_frac}")
     f_num, f_den = frac.numerator, frac.denominator
 
     spark = docs.sparkSession
@@ -1062,7 +1065,8 @@ def dedup_lines(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "keep",
-            F.col("n_docs") * F.lit(f_den) <= F.col("n_total") * F.lit(f_num),
+            F.col("n_docs").cast("decimal(38,0)") * F.lit(f_den)
+            <= F.col("n_total").cast("decimal(38,0)") * F.lit(f_num),
         )
     )
     kept_structs = F.array_sort(

@@ -160,10 +160,12 @@ def _events_corpus(draw):
              else draw(st.integers(min_value=-10**6, max_value=10**6)) / 100.0),
             "{}",
         ))
+    # value forced to float64: an all-None draw leaves an object column
+    # that spark.createDataFrame cannot type-infer (latent flake)
     return pd.DataFrame(
         rows,
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
-    ).astype({"event_id": "int64", "user_id": "int64"})
+    ).astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
 
 
 def _compare_events(spark, pdf, names):

@@ -204,6 +204,27 @@ def test_structural_keywords_in_title(title):
     assert r["title"] == title and r["text"] == "body words"
 
 
+@pytest.mark.parametrize("objnum", ["8", "12", "123"])
+def test_indirect_length_reference_not_misread_multidigit(objnum):
+    """Backtracking regression: with '/Length 123 0 R' the old lookahead
+    backtracked to group '12' and read a fake 12-byte literal length —
+    multi-digit indirect object numbers must also fall to the endstream
+    scan."""
+    body = b"BT 72 720 Td (multi digit indirect ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + objnum.encode() + b" 0 R >>\nstream\n"
+        + body + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    r = parse_pdf(pdf)
+    assert r["error"] is None
+    assert r["text"] == "multi digit indirect ok"
+
+
 def test_indirect_length_reference_not_misread():
     """'/Length 8 0 R' (the common indirect form) must NOT be read as a
     literal 8-byte length — that truncated the stream payload silently.

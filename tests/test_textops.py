@@ -690,3 +690,29 @@ def test_intradoc_line_dedup_planted(spark):
     lines = first["text_kept"].split("\n")
     assert len(lines) == len(set(lines))     # no intra-doc repeats survive
     assert lines[-1] == "tail 0"             # order preserved
+
+
+def test_dedup_lines_small_fraction_exact(spark):
+    """max_frac converts through its decimal string with NO denominator
+    cap (limit_denominator snapped 1e-5 to 0, turning the op into
+    delete-everything).  Pin the conversion exactness at the 1/8 boundary:
+    a line in exactly 1 of 8 docs sits AT max_frac=0.125 and must be kept;
+    2 of 8 exceeds it and must go.  Invalid fractions raise."""
+    from fractions import Fraction
+
+    # the conversion itself: tiny fractions stay exact, never 0
+    assert Fraction(str(1e-5)) == Fraction(1, 100000)
+
+    shared2 = "in exactly two docs"
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}\n{shared2}" if i < 2 else f"unique {i}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = textops.dedup_lines(docs, max_frac=0.125).toPandas()
+    n = dict(zip(out["doc_id"], zip(out["n_kept"], out["n_removed"])))
+    assert n[0] == (1, 1) and n[1] == (1, 1)  # shared2 (2/8 > 1/8) removed
+    assert n[5] == (1, 0)                      # unique (1/8 == 1/8) kept
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textops.dedup_lines(docs, max_frac=0.0)
