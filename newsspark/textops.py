@@ -1207,24 +1207,29 @@ def stratified_sample(
                 "n_lang")
     )
 
-    joined = hashed.join(F.broadcast(cut), strata_col)
-    full = joined.where(F.col("bkt") < F.col("cut_bkt"))
-    w_rank = Window.partitionBy(strata_col).orderBy("h", "doc_id")
-    boundary = (
-        joined.where(F.col("bkt") == F.col("cut_bkt"))
-        .withColumn("rnk", F.row_number().over(w_rank))
-        .where(F.col("rnk") <= F.col("take_in_cut"))
-        .drop("rnk")
+    # The global per-stratum rank is recomposed from the bucket histogram:
+    #   sample_rank = cum_before(bkt) + row_number within (stratum, bkt)
+    # Valid because hex-prefix bucket order == md5-string order (both use
+    # the '0'<..'9'<'a'..<'f' alphabet) and every bucket before a picked
+    # row's bucket is picked whole.  The only doc-sided window partitions
+    # on (stratum, bkt) — at most one uniform hash-prefix bucket
+    # (~n/16^bucket_hex_chars rows) per partition, NEVER a stratum, so a
+    # 90%-one-language corpus cannot produce a straggler sort.
+    cum_small = cum.select(strata_col, "bkt", "cum_before")
+    joined = (
+        hashed.join(F.broadcast(cut), strata_col)
+        .join(F.broadcast(cum_small), [strata_col, "bkt"])
     )
-    picked = full.unionByName(boundary).select(
-        "doc_id", strata_col, "h", "n_lang"
+    w_bkt = Window.partitionBy(strata_col, "bkt").orderBy("h", "doc_id")
+    picked = (
+        joined.where(F.col("bkt") <= F.col("cut_bkt"))
+        .withColumn("rnk_in_bkt", F.row_number().over(w_bkt))
+        .where((F.col("bkt") < F.col("cut_bkt"))
+               | (F.col("rnk_in_bkt") <= F.col("take_in_cut")))
     )
-    # sample_rank = rank within the WHOLE stratum by (h, doc_id) — equals
-    # the SQL twin's row_number because the selected set is exactly the
-    # quota smallest hashes, so ranking the selection alone is enough
-    w_sel = Window.partitionBy(strata_col).orderBy("h", "doc_id")
     return picked.select(
         "doc_id", F.col(strata_col),
-        F.row_number().over(w_sel).cast("long").alias("sample_rank"),
+        (F.col("cum_before") + F.col("rnk_in_bkt"))
+        .cast("long").alias("sample_rank"),
         F.col("n_lang").cast("long").alias("n_lang"),
     ).orderBy("doc_id")

@@ -644,6 +644,18 @@ def test_stratified_sample_scalable_equals_window_twin(spark):
     b = _pdf_sorted(spark.sql(SPARK_SQL["stratified_sample"]))
     assert list(a.columns) == list(b.columns)
     assert a.values.tolist() == b.values.tolist()
+    # plan shape (VERDICT r3 #1): the ONLY doc-sided row_number window is
+    # partitioned by (stratum, bucket) — sample_rank is recomposed from the
+    # bucket histogram, so no window partition ever exceeds one hash-prefix
+    # bucket even on a 90%-one-stratum corpus.
+    plan = textops.stratified_sample(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("row_number()") == 1, plan
+    import re
+    rn_parts = re.search(
+        r"row_number\(\) windowspecdefinition\((\w+)#\d+, (\w+)#\d+L?,", plan)
+    assert rn_parts and rn_parts.groups() == ("lang", "bkt"), plan
 
 
 def test_stratified_sample_scalable_skewed_stratum(spark):
