@@ -48,7 +48,21 @@ def asof_join(
     ``right`` must be unique per (key, ts) — pre-aggregate if not (the
     contract entry reduces with max() first); with duplicates the carried
     value would depend on sort-tie order.
+
+    Raises ValueError when ``left`` already contains one of the internal /
+    output names this join synthesizes (``_is_left``, ``_r_ts``, ``_asof``,
+    ``asof_ts``, ``_r_<c>``/``asof_<c>``) — without the guard a collision
+    surfaces as a confusing analysis error or a silently wrong selection.
     """
+    reserved = {"_is_left", "_r_ts", "_asof", "asof_ts"}
+    reserved |= {f"_r_{c}" for c in right_cols}
+    reserved |= {f"asof_{c}" for c in right_cols}
+    clash = sorted(reserved.intersection(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {clash}; rename them on the "
+            "left DataFrame before joining"
+        )
     left_cols = left.columns
     marked_left = left.select(
         *left_cols,

@@ -15,6 +15,8 @@ ANN variants are rows-only checked but recall-tested against brute force.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -1025,6 +1027,11 @@ def dedup_lines(
     Output: one row per input doc — ``doc_id``, ``n_kept``, ``n_removed``,
     and ``text_kept`` (surviving lines rejoined with ``sep`` in original
     order; '' when every line was boilerplate, so the op stays total).
+    NULL ``text`` is treated as '' (one empty line), so the one-row-per-doc
+    totality holds — posexplode of a NULL split would silently drop the
+    doc.  ``sep`` is regex-escaped before F.split (split takes a Java
+    regex, array_join a literal): '.' or '|' separators split on the
+    character, not on every position.
 
     Scale shape (100 TB): explode to lines -> ONE agg shuffle builds the
     line-frequency table (map-side partial aggregation collapses repeated
@@ -1054,7 +1061,9 @@ def dedup_lines(
     spark = docs.sparkSession
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pos", "line"),
     )
     freq = lines.groupBy("line").agg(
         F.countDistinct("doc_id").alias("n_docs")

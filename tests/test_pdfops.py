@@ -244,3 +244,31 @@ def test_indirect_length_reference_not_misread():
     assert r["error"] is None
     assert r["text"] == "indirect length works"
     assert r["n_pages"] == 1
+
+
+def test_corpus_stays_latin1_for_pdf_oracle():
+    """synth_pdf encodes text as latin-1/'replace' while the DuckDB
+    pdf_extract oracle replays the ORIGINAL string — parity holds only
+    while documents.text is pure latin-1 (ADVICE r3).  Assert it per sf
+    dir so a corpus regeneration with real CJK text fails HERE with a
+    clear message, not as an opaque oracle hash mismatch."""
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    checked = 0
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        pq = f"{sf_dir}/documents.parquet"
+        texts = pq_mod.read_table(pq, columns=["text"])["text"].to_pylist()
+        bad = [t for t in texts if t is not None
+               and any(ord(ch) > 255 for ch in t)]
+        assert not bad, (
+            f"{pq}: {len(bad)} documents.text rows contain codepoints > "
+            "U+00FF; pdfops.synth_pdf would '?'-replace them and the "
+            "pdf_extract DuckDB oracle (which replays the original string) "
+            "would hash-mismatch.  Either keep the corpus latin-1 or "
+            "extend synth_pdf + the oracle together (see the pdfops.py "
+            "module docstring)."
+        )
+        checked += len(texts)
+    assert checked > 0

@@ -167,3 +167,16 @@ def test_range_join_plan_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_reserved_column_guard(planted):
+    """ADVICE r3: a left side already carrying an internal/output name
+    (_is_left, _asof, asof_ts, _r_<c>, asof_<c>) must raise a clear
+    ValueError instead of a confusing analysis error or silently wrong
+    selection."""
+    lefts, rights = planted
+    for bad in ("_is_left", "_asof", "asof_ts", "_r_rval", "asof_rval"):
+        with pytest.raises(ValueError, match="reserves column names"):
+            asof_join(lefts.withColumn(bad, F.lit(1)), rights)
+    # clean left still works
+    assert asof_join(lefts, rights).count() == 4

@@ -728,3 +728,29 @@ def test_dedup_lines_small_fraction_exact(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textops.dedup_lines(docs, max_frac=0.0)
+
+
+def test_dedup_lines_null_text_and_regex_sep(spark):
+    """ADVICE r3: (a) NULL text must yield one output row (coalesced to
+    ''), not silently vanish from the per-doc output; (b) a regex-special
+    separator like '.' must split on the CHARACTER, not on every position
+    (F.split takes a Java regex — the builder escapes it)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, "keep me"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = textops.dedup_lines(docs, max_frac=0.5).toPandas()
+    assert out["doc_id"].tolist() == [0, 1, 2]          # totality: 3 in, 3 out
+    assert out[out.doc_id == 1]["text_kept"].iloc[0] == "keep me"
+    # NULL and '' both become one empty line; 2/3 docs > 0.5 -> removed
+    assert out[out.doc_id == 0]["text_kept"].iloc[0] == ""
+
+    dotted = spark.createDataFrame(
+        [(0, "alpha.beta"), (1, "alpha.gamma")],
+        "doc_id long, text string",
+    )
+    out2 = textops.dedup_lines(dotted, max_frac=0.6, sep=".").toPandas()
+    r0 = out2[out2.doc_id == 0].iloc[0]
+    # '.' as a raw regex matches every char -> all-empty lines; escaped it
+    # splits into ['alpha','beta'], drops the shared 'alpha' (2/2 > 0.6)
+    assert r0["text_kept"] == "beta" and r0["n_removed"] == 1
