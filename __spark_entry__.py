@@ -54,6 +54,29 @@ def _sql(name: str):
 
 # --- extraction pipeline (oracle-checked against the frozen golden corpus) --
 
+# Per-session memo of the frozen-corpus cascade (VERDICT r3 #4): four
+# entries (extract_cascade, extract_metrics, api_payload_json,
+# curate_corpus) project the SAME run_extract output over the SAME frozen
+# sf0.001 corpus — without the memo one gate sweep pays the cascade ~4x.
+# Keyed by (applicationId, CORPUS_VERSION) so a new session or a corpus
+# re-freeze invalidates it.  extract_with_rules_join deliberately does NOT
+# share the memo: its purpose is exercising the rules-dimension code path
+# live; extract_from_warc likewise re-extracts from WARC-read pages.
+_CASCADE_MEMO: dict = {}
+
+
+def _golden_articles(spark: SparkSession) -> DataFrame:
+    from newsspark.pages import CORPUS_VERSION
+
+    key = (spark.sparkContext.applicationId, CORPUS_VERSION)
+    df = _CASCADE_MEMO.get(key)
+    if df is None:
+        pages = pages_df(spark, "/root/testdata/sf0.001")
+        df = run_extract(spark, pages).persist()
+        df.count()  # materialize once, under this entry's wall-clock
+        _CASCADE_MEMO[key] = df
+    return df
+
 
 def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship correctness artifact: the full extraction cascade over the
@@ -62,8 +85,7 @@ def _extract_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle can replay the non-SQL-expressible engines as a
     projection of the golden file.  ``sf_dir`` is deliberately unused here;
     the sf-scaled cascade runs in entry() and bench.py."""
-    pages = pages_df(spark, "/root/testdata/sf0.001")
-    articles = run_extract(spark, pages)
+    articles = _golden_articles(spark)
     return articles.select(
         "url",
         "title",
@@ -79,8 +101,7 @@ def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-method metrics over the frozen golden corpus — the DuckDB twin
     aggregates the golden jsonl, so the metrics aggregation is oracle-checked
     end to end (cascade + groupBy)."""
-    pages = pages_df(spark, "/root/testdata/sf0.001")
-    m = method_metrics(run_extract(spark, pages))
+    m = method_metrics(_golden_articles(spark))
     return m.select(
         "method",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -152,8 +173,7 @@ def _api_payload_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's HTTP endpoint does (compact JSON, non-ASCII verbatim,
     nulls explicit) and hash-compare the BYTES against DuckDB rebuilding
     the same payload from the golden corpus."""
-    pages = pages_df(spark, "/root/testdata/sf0.001")
-    articles = run_extract(spark, pages)
+    articles = _golden_articles(spark)
     return articles.select(
         "url",
         F.to_json(
@@ -199,8 +219,7 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL over the golden jsonl, hash-checking extraction + curation algebra
     composed (``sf_dir`` deliberately unused, like extract_cascade)."""
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    pages = pages_df(spark, "/root/testdata/sf0.001")
-    run_extract(spark, pages).createOrReplaceTempView("_curate_articles")
+    _golden_articles(spark).createOrReplaceTempView("_curate_articles")
     return spark.sql(SPARK_SQL["curate_corpus"])
 
 
