@@ -137,9 +137,18 @@ def main() -> None:
             make_df().write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t, 3)
 
+        # guarded lanes = production defaults (pre_dedup_exact + max_bucket,
+        # the r3 semantics upgrade); the *_unguarded twins keep the r1/r2
+        # lane semantics so cross-round regressions stay visible instead of
+        # conflating the guard cost with drift (VERDICT r3 #2) — unguarded
+        # lanes are excluded from the headline total like the r3 lanes
         timed("dedup_minhash_lsh", lambda: textops.dedup_minhash_lsh(docs))
+        timed("dedup_minhash_lsh_unguarded", lambda: textops.dedup_minhash_lsh(
+            docs, pre_dedup_exact=False, max_bucket=None))
         timed("simhash64", lambda: textops.simhash64(docs))
         timed("dedup_pipeline", lambda: textops.dedup_pipeline(docs))
+        timed("dedup_pipeline_unguarded", lambda: textops.dedup_pipeline(
+            docs, pre_dedup_exact=False, max_bucket=None))
         timed("ann_bruteforce_topk", lambda: textops.ann_bruteforce_topk(emb))
         timed("ann_lsh_topk", lambda: textops.ann_lsh_topk(emb))
         # the FAISS phases reported separately (train once, index once,
@@ -193,7 +202,8 @@ def main() -> None:
         # headline total excludes the w8 lane (extra measurement work added
         # in round 2) and the round-3 op lanes — keeping the lane set of
         # 'value' fixed preserves comparability across recorded rounds
-        excluded = {"extract_cascade_w8", "dedup_lines", "pdf_extract"}
+        excluded = {"extract_cascade_w8", "dedup_lines", "pdf_extract",
+                    "dedup_minhash_lsh_unguarded", "dedup_pipeline_unguarded"}
         total = round(
             sum(v for k, v in timings.items() if k not in excluded), 3
         )

@@ -622,9 +622,26 @@ ORDER BY c.doc_id
 )
 
 # --- similarity search oracle ------------------------------------------------
+# Zero-norm/NULL vectors are excluded at the SOURCE of every cosine query in
+# BOTH dialects (textops._nonzero is the builder-side mirror): cosine is
+# undefined for them, Spark 4 ANSI raises DIVIDE_BY_ZERO on the 0/0 (doubles
+# included) while DuckDB returns NULL and silently filters.  The predicate is
+# exact and summation-order-independent (sum of float32-component squares in
+# double is 0 iff all components are ±0), so both engines agree on who is
+# excluded.  Found by the embeddings cross-engine fuzz (round 4).
+_NZ_SPARK = (
+    "(embedding IS NOT NULL AND "
+    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0)"
+)
+_NZ_DUCK = (
+    "(embedding IS NOT NULL AND "
+    "list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0)"
+)
 _dual(
     "ann_bruteforce_topk",
-    """
+    f"""
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
        round(sim, 6) AS cos_sim
 FROM (
@@ -643,12 +660,14 @@ FROM (
                                         * sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                                                          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) DESC,
                                      e.vec_id ASC) AS rank
-  FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10) q
-  JOIN embeddings e ON e.vec_id <> q.query_id) s
+  FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 10 AND {_NZ_SPARK}) q
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE {_NZ_SPARK}) e
+    ON e.vec_id <> q.query_id) s
 WHERE rank <= 5
 ORDER BY query_id, rank
 """,
-    """
+    f"""
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
        round(sim, 6) AS cos_sim
 FROM (
@@ -661,8 +680,10 @@ FROM (
                                      / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))
                                         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
                                      e.vec_id ASC) AS rank
-  FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10) q
-  JOIN embeddings e ON e.vec_id <> q.query_id) s
+  FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 10 AND {_NZ_DUCK}) q
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE {_NZ_DUCK}) e
+    ON e.vec_id <> q.query_id) s
 WHERE rank <= 5
 ORDER BY query_id, rank
 """,
@@ -707,7 +728,7 @@ def _lsh_bucket_duck(vec: str, n_planes: int = 8) -> str:
 DUCK_SQL["ann_lsh_topk"] = f"""
 WITH tagged AS (
   SELECT vec_id, embedding, {_lsh_bucket_duck('embedding')} AS bucket
-  FROM embeddings
+  FROM embeddings WHERE {_NZ_DUCK}
 ), probes AS (
   SELECT vec_id AS query_id, embedding AS qe,
          unnest([CAST(0 AS BIGINT), {", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(8))}]) AS off
@@ -772,7 +793,8 @@ WITH cents(cell, cv, c_sq) AS (
          c.c_sq - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
                             x -> x[1] * x[2])), (acc, v) -> acc + v) AS score
-  FROM embeddings e CROSS JOIN cents c
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE {_NZ_DUCK}) e
+  CROSS JOIN cents c
 ), assigned AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT vec_id, embedding, cell,
@@ -809,7 +831,7 @@ ORDER BY query_id, rank
 DUCK_SQL["dedup_embedding_cosine_lsh"] = f"""
 WITH tagged AS (
   SELECT vec_id, embedding, {_lsh_bucket_duck('embedding', 6)} AS bucket
-  FROM embeddings
+  FROM embeddings WHERE {_NZ_DUCK}
 ), probes AS (
   SELECT vec_id AS vb, embedding AS eb,
          unnest([bucket, {", ".join(f"xor(bucket, CAST({1 << i} AS BIGINT))" for i in range(6))}]) AS pbucket
@@ -874,7 +896,7 @@ ORDER BY hour, event_type
 # --- embedding-cosine near-dup (exact baseline; LSH variant is rows-only) ----
 _dual(
     "dedup_embedding_cosine",
-    """
+    f"""
 SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
 FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -884,18 +906,22 @@ FROM (
                            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
             * sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) s
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE {_NZ_SPARK}) a
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE {_NZ_SPARK}) b
+    ON a.vec_id < b.vec_id) s
 WHERE round(sim, 6) >= 0.45
 ORDER BY vec_a, vec_b
 """,
-    """
+    f"""
 SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
 FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) s
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE {_NZ_DUCK}) a
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE {_NZ_DUCK}) b
+    ON a.vec_id < b.vec_id) s
 WHERE round(sim, 6) >= 0.45
 ORDER BY vec_a, vec_b
 """,

@@ -436,14 +436,31 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def _norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
+
+
+def _norm(a):
+    return F.sqrt(_norm2(a))
+
+
+def _nonzero(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop NULL and zero-norm vectors at the source of every cosine op:
+    cosine similarity is undefined for them, Spark 4 ANSI raises
+    DIVIDE_BY_ZERO on the 0/0 (doubles included — probed, not just
+    int/decimal), and DuckDB returns NULL and silently filters — so a
+    single zero vector would hard-fail the Spark side while the oracle
+    shrugs.  The predicate is EXACT and fold-order-independent: a sum of
+    float32-component squares in double is 0 iff every component is ±0
+    (the smallest square, (1.4e-45)², is representable — no underflow),
+    so both engines agree bit-for-bit on who is excluded.  Found by the
+    embeddings cross-engine fuzz (round 4)."""
+    c = F.col(vec_col)
+    return emb.where(c.isNotNull() & (_norm2(c) > 0))
 
 
 def _cosine_topk(candidates: DataFrame, k: int) -> DataFrame:
@@ -476,6 +493,7 @@ def ann_bruteforce_topk(
     """Brute-force cosine top-k: the correctness baseline. The query set is
     broadcast (tiny) against the full embedding table — no shuffle of the big
     side; ranking is a per-query-group window."""
+    emb = _nonzero(emb)
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -504,6 +522,7 @@ def ann_lsh_topk(
     single-probe loses on near-orthogonal data).  At 10^9 vectors the
     broadcast bucket join replaces the full cross product: cost is
     O(n x (n_planes+1) / 2^n_planes) candidate pairs."""
+    emb = _nonzero(emb)
     planes = _lsh_planes(n_planes)
 
     def bucket_of(vec_col):
@@ -652,11 +671,15 @@ def ann_ivf_topk(
     nearest cells with the same numpy model on the driver-broadcast row set;
     the bucket join is broadcast (queries x n_probe rows), so only
     n_probe/K of the corpus is ever scored."""
-    emb = _spread(emb)
+    emb = _nonzero(_spread(emb))
     cents = model if model is not None else ivf_train(
         emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters
     )
-    assigned = index if index is not None else ivf_index(emb, cents)
+    # a caller-supplied index may have been built from an unfiltered
+    # corpus — re-apply the zero-norm guard (map-only, one HOF pass)
+    assigned = (
+        _nonzero(index) if index is not None else ivf_index(emb, cents)
+    )
 
     # query side: n_probe nearest cells per query — same model, exploded so
     # each query emits its probe cell ids; plan stays O(1) in K
@@ -757,6 +780,7 @@ def ann_ivf_topk_fixed(
     contract check.  Production searches use :func:`ann_ivf_topk` (trained
     centroids, numpy-matmul pandas UDF, plan O(1) in K), whose recall is
     pinned against brute force in tests/test_textops.py."""
+    emb = _nonzero(emb)
     scores = _ivf_fixed_scores(F.col("embedding"), n_centroids)
     # struct ordering is lexicographic: min score, ties on lowest cell id —
     # the same (score ASC, cell ASC) rule as the oracle's row_number
@@ -889,7 +913,7 @@ def dedup_embedding_cosine(
     with a DuckDB oracle twin. ``use_lsh=True``: candidate pairs restricted
     to same-hyperplane-bucket (plus Hamming-1 probes), the plan that
     survives 10^9 vectors."""
-    base = emb.select("vec_id", "embedding")
+    base = _nonzero(emb).select("vec_id", "embedding")
     if use_lsh:
         planes = _lsh_planes(n_planes)
         tagged = base.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))

@@ -35,12 +35,25 @@ def main() -> None:
     def run_events(pdf):
         fuzz._compare_events(spark, pdf, fuzz.EVENTS_FUZZ_QUERIES)
 
+    # embeddings examples cost ~8s each (five literal-heavy ANN plans per
+    # example), so the suite soaks at a quarter of the docs/events budget
+    n_emb = max(5, n // 4)
+
+    @settings(max_examples=n_emb, deadline=None, database=None,
+              suppress_health_check=list(HealthCheck))
+    @given(X=fuzz._emb_corpus())
+    def run_emb(X):
+        fuzz._compare_emb(spark, X, fuzz.EMB_FUZZ_QUERIES)
+
     print(f"docs suite: {n} examples x {len(fuzz.FUZZ_QUERIES)} queries")
     run_docs()
     print("docs suite: OK")
     print(f"events suite: {n} examples x {len(fuzz.EVENTS_FUZZ_QUERIES)} queries")
     run_events()
     print("events suite: OK")
+    print(f"emb suite: {n_emb} examples x {len(fuzz.EMB_FUZZ_QUERIES)} queries")
+    run_emb()
+    print("emb suite: OK")
     spark.stop()
 
 

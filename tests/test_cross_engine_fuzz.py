@@ -217,3 +217,130 @@ def test_events_twins_agree_on_planted_tie_corpus(spark):
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     ).astype({"event_id": "int64", "user_id": "int64"})
     _compare_events(spark, pdf, EVENTS_FUZZ_QUERIES)
+
+
+# --- embeddings-table queries (float-fold ANN / cosine oracles) ---------------
+# The most parity-fragile suite: every query divides by vector norms, folds
+# dot products in a pinned IEEE order, buckets on float sign thresholds, and
+# ranks on rounded similarity.  The fuzz plants exactly the inputs the sf
+# fixtures never contain: zero-norm vectors (Spark 4 ANSI raises
+# DIVIDE_BY_ZERO on double 0/0 while DuckDB NULLs — the round-4 guard),
+# duplicate vectors (rank ties), antipodal and exactly-scaled copies,
+# mixed ±0.0 components, and subnormal-magnitude vectors.
+
+EMB_FUZZ_QUERIES = (
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+)
+
+_EMB_DIM = 64  # the hyperplane/centroid literals in contract_sql are dim-64
+
+
+@st.composite
+def _emb_corpus(draw):
+    import numpy as np
+
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    n = draw(st.integers(min_value=12, max_value=20))
+    rs = np.random.RandomState(seed)
+    X = rs.uniform(-1.0, 1.0, size=(n, _EMB_DIM)).astype(np.float32)
+    if draw(st.booleans()):
+        X[draw(st.integers(min_value=10, max_value=n - 1))] = 0.0  # zero corpus vec
+    if draw(st.booleans()):
+        X[draw(st.integers(min_value=0, max_value=9))] = 0.0       # zero QUERY vec
+    if draw(st.booleans()):
+        i = draw(st.integers(min_value=0, max_value=n - 2))
+        X[i + 1] = X[i]                                   # duplicate (sim tie)
+    if draw(st.booleans()):
+        i = draw(st.integers(min_value=0, max_value=n - 2))
+        X[i + 1] = -X[i]                                  # antipodal (sim -1)
+    if draw(st.booleans()):
+        i = draw(st.integers(min_value=0, max_value=n - 2))
+        X[i + 1] = X[i] * np.float32(2.0)                 # exact same direction
+    if draw(st.booleans()):
+        X[draw(st.integers(min_value=0, max_value=n - 1)), ::2] = np.float32(-0.0)
+    if draw(st.booleans()):
+        i = draw(st.integers(min_value=0, max_value=n - 1))
+        X[i] = (X[i] * np.float32(1e-40)).astype(np.float32)  # subnormal range
+    return X
+
+
+def _compare_emb(spark, X, names):
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from __spark_entry__ import _TABLES
+
+    n = len(X)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array(
+            [[float(v) for v in row] for row in X],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array([i % 3 for i in range(n)], type=pa.int32()),
+    })
+    root = tempfile.mkdtemp(prefix="newsspark_emb_fuzz_")
+    try:
+        pq.write_table(tbl, f"{root}/embeddings.parquet")
+        # the entry callables register ALL contract tables from sf_dir;
+        # everything except embeddings is irrelevant here — symlink the
+        # frozen sf0.001 files so the REAL driver entries run unmodified
+        for t in _TABLES:
+            if t != "embeddings":
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           f"{root}/{t}.parquet")
+        qs = entrymod.queries()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{root}/embeddings.parquet'"
+        )
+        for name in names:
+            spdf = qs[name](spark, root).toPandas()
+            opdf = con.execute(DUCK_SQL[name]).df()
+            scols, srows = frame_key(spdf)
+            ocols, orows = frame_key(opdf)
+            assert scols == ocols, (name, scols, ocols)
+            if len(spdf) and len(opdf):
+                sk, ok = dtype_kinds(spdf), dtype_kinds(opdf)
+                assert sk == ok, (name, sk, ok)
+            assert srows == orows, (
+                name,
+                [r for r in srows if r not in orows][:3],
+                [r for r in orows if r not in srows][:3],
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(X=_emb_corpus())
+def test_embedding_twins_agree_on_arbitrary_corpora(spark, X):
+    _compare_emb(spark, X, EMB_FUZZ_QUERIES)
+
+
+def test_embedding_twins_agree_on_planted_edge_corpus(spark):
+    """Deterministic nasty embedding table: zero query + zero corpus
+    vector, duplicate pair, antipodal pair, exact 2x scale, mixed ±0.0,
+    subnormal magnitudes — every adversarial case at once."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    X = rs.uniform(-1.0, 1.0, size=(14, _EMB_DIM)).astype(np.float32)
+    X[3] = 0.0                                  # zero-norm query vector
+    X[12] = 0.0                                 # zero-norm corpus vector
+    X[5] = X[4]                                 # duplicate pair (sim tie)
+    X[7] = -X[6]                                # antipodal
+    X[9] = X[8] * np.float32(2.0)               # same direction, 2x scale
+    X[10, ::2] = np.float32(-0.0)               # mixed signed zeros
+    X[11] = (X[11] * np.float32(1e-40)).astype(np.float32)  # subnormals
+    _compare_emb(spark, X, EMB_FUZZ_QUERIES)
