@@ -1486,10 +1486,12 @@ ORDER BY user_id, session_num
 # (every 3rd doc a subscribe prompt, every 4th a copyright footer) and a
 # semi-common tail shared by ~1/40th of the corpus — at any sf the prompts
 # sit above the 10% threshold (removed) and the tails below it (kept).
-# Scale shape (see textops.dedup_lines): one agg shuffle for the line
-# frequency table, one join back (boilerplate lines are hot keys -> AQE skew
-# join), one groupBy doc_id to reassemble; threshold arithmetic is integer
-# (n_docs * 10 <= n_total) so no float boundary can flip a row.
+# Scale shape (see textops.dedup_lines): the twin below joins frequencies
+# back per line (fine at oracle scale); the PRODUCTION builder instead
+# broadcasts the bounded removal set — AQE's skew split cannot fire on the
+# join-back shape (freq side is a HashAggregate directly above its shuffle),
+# so hot boilerplate keys never shuffle at all.  Threshold arithmetic is
+# integer (n_docs * 10 <= n_total) so no float boundary can flip a row.
 _LINED_SPARK = (
     "concat_ws(chr(10), substring(text, 1, 80), "
     "CASE WHEN doc_id % 3 = 0 "

@@ -1041,6 +1041,7 @@ def dedup_lines(
     text_col: str = "text",
     max_frac: float = 0.1,
     sep: str = "\n",
+    removal_broadcast: bool = True,
 ) -> DataFrame:
     """Corpus-level line dedup (RefinedWeb/CCNet-style boilerplate removal):
     drop every line that occurs in more than ``max_frac`` of the documents —
@@ -1057,15 +1058,28 @@ def dedup_lines(
     regex, array_join a literal): '.' or '|' separators split on the
     character, not on every position.
 
-    Scale shape (100 TB): explode to lines -> ONE agg shuffle builds the
-    line-frequency table (map-side partial aggregation collapses repeated
-    lines per partition, so boilerplate costs one row per partition, not
-    per occurrence) -> join frequencies back (boilerplate lines are hot
-    join keys; AQE skew-join splits them) -> one groupBy doc_id to
-    reassemble.  No driver-side state; the corpus-size scalar rides along
-    as a broadcast single-row cross join.  The SQL twin in contract_sql.py
-    ("dedup_lines") is oracle-checked; equivalence of this builder is
-    pinned in tests/test_textops.py.
+    Scale shape (100 TB): explode to lines -> the line-frequency agg
+    (count DISTINCT doc_id per line: Spark plans it as a first shuffle on
+    (line, doc_id) — UNIFORM even for a 90%-of-docs boilerplate line —
+    then a second shuffle on line carrying partially-combined counts) ->
+    flag lines via the REMOVAL SET -> one groupBy doc_id to reassemble.
+
+    The removal set replaces the r3 join-frequencies-back design: joining
+    every exploded line row against freq made boilerplate lines hot join
+    keys, and AQE's skew split provably CANNOT fire there (the freq side
+    is a HashAggregate directly above its shuffle, not a bare shuffle
+    stage — probed on this Spark 4 build, even with
+    forceOptimizeSkewedJoin).  Instead note the removed-line set is
+    BOUNDED: every removed line occurs in > max_frac*N docs, so at most
+    (avg distinct lines per doc)/max_frac lines can be removed — ~500 at
+    the 0.1 default on 50-line docs, independent of corpus size.  That
+    set broadcasts; the flag join is a map-side broadcast hash join and
+    NO doc-keyed data ever shuffles on `line`.  Pass
+    ``removal_broadcast=False`` for pathological max_frac (<~1e-4, where
+    the bound stops being broadcast-sized) to fall back to the shuffle
+    join.  The SQL twin in contract_sql.py ("dedup_lines") is
+    oracle-checked; equivalence of this builder (both paths) is pinned in
+    tests/test_textops.py.
     """
     from fractions import Fraction
 
@@ -1093,15 +1107,25 @@ def dedup_lines(
         F.countDistinct("doc_id").alias("n_docs")
     )
     total = docs.agg(F.count(F.lit(1)).alias("n_total"))
-    flagged = (
-        lines.join(freq, "line")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "keep",
-            F.col("n_docs").cast("decimal(38,0)") * F.lit(f_den)
-            <= F.col("n_total").cast("decimal(38,0)") * F.lit(f_num),
-        )
+    over_threshold = (
+        F.col("n_docs").cast("decimal(38,0)") * F.lit(f_den)
+        > F.col("n_total").cast("decimal(38,0)") * F.lit(f_num)
     )
+    if removal_broadcast:
+        removal = (
+            freq.crossJoin(F.broadcast(total))
+            .where(over_threshold)
+            .select("line", F.lit(True).alias("_rm"))
+        )
+        flagged = lines.join(F.broadcast(removal), "line", "left").withColumn(
+            "keep", F.col("_rm").isNull()
+        )
+    else:
+        flagged = (
+            lines.join(freq, "line")
+            .crossJoin(F.broadcast(total))
+            .withColumn("keep", ~over_threshold)
+        )
     kept_structs = F.array_sort(
         F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
     )

@@ -754,3 +754,30 @@ def test_dedup_lines_null_text_and_regex_sep(spark):
     # '.' as a raw regex matches every char -> all-empty lines; escaped it
     # splits into ['alpha','beta'], drops the shared 'alpha' (2/2 > 0.6)
     assert r0["text_kept"] == "beta" and r0["n_removed"] == 1
+
+
+def test_dedup_lines_hot_line_corpus_and_plan_shape(spark):
+    """VERDICT r3 #7: a 90%-one-line corpus through dedup_lines.  AQE's
+    skew split provably cannot fire on the r3 join-freq-back shape (the
+    freq side is a HashAggregate directly above its shuffle — probed even
+    with forceOptimizeSkewedJoin), so the production path now broadcasts
+    the BOUNDED removal set instead.  Assert (a) the broadcast path equals
+    the shuffle-join fallback row-for-row on the planted corpus, (b) the
+    hot line is removed everywhere, and (c) the plan flags lines via a
+    broadcast hash join with NO shuffle join on the line key."""
+    rows = [(i, f"unique line {i}\nSHARED NAV BOILERPLATE" if i % 10 != 0
+             else f"unique line {i}") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = textops.dedup_lines(docs, max_frac=0.5)
+    slow = textops.dedup_lines(docs, max_frac=0.5, removal_broadcast=False)
+    a, b = fast.toPandas(), slow.toPandas()
+    assert a.values.tolist() == b.values.tolist()
+    hot = a[a.doc_id % 10 != 0]
+    assert (hot["n_removed"] == 1).all()
+    assert hot["text_kept"].str.startswith("unique line").all()
+    cold = a[a.doc_id % 10 == 0]
+    assert (cold["n_removed"] == 0).all()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin [line" not in plan, plan
+    assert "ShuffledHashJoin [line" not in plan, plan
