@@ -166,6 +166,14 @@ def main() -> None:
         timed("quality_score", lambda: textops.quality_score(docs))
         timed("dedup_exact", lambda: textops.dedup_exact(docs))
 
+        # second phase barrier: the dedup/ANN block above (now including the
+        # two unguarded lanes) leaves enough heap garbage to poison the
+        # late lanes — r4 observed pdf_extract at 15.6s inside a full bench
+        # run vs 0.7-3.0s isolated, the same GC-debt pattern as the r3
+        # extract barrier
+        spark._jvm.System.gc()
+        time.sleep(5)
+
         # round-3 lanes (EXCLUDED from the headline total so 'value' stays
         # comparable with earlier recorded rounds; per-lane numbers in
         # 'queries' are the signal)

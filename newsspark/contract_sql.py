@@ -1052,8 +1052,14 @@ ORDER BY method
 # truncation by i%50==7), and _decode_one's outcome per case is deterministic
 # — so the metadata projection of media_decode has an exact SQL twin.  The
 # byte-statistics columns (mean_byte, entropy: LCG-dependent) stay
-# pytest-only.
-DUCK_SQL["media_decode"] = """
+# pytest-only — EXCEPT mean_pixel: the sel==0 images are binary PPMs whose
+# pixel plane is the gradient (byte_index + media_id) % 256, a REAL full
+# pixel decode on the Spark side whose mean DuckDB replays in closed form:
+# sum of (j % 256) over j in [s, s+n) = F(s+n) - F(s) with
+# F(t) = (t // 256) * 32640 + r*(r-1)/2, r = t % 256 — all-integer, then one
+# exact double division, so the hash matches bit-for-bit.
+_PPM_CUMSUM = "(({t}) // 256) * 32640 + (({t}) % 256) * ((({t}) % 256) - 1) // 2"
+DUCK_SQL["media_decode"] = f"""
 WITH base AS (
   SELECT doc_id AS i,
          CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1062,23 +1068,34 @@ WITH base AS (
          doc_id % 9 AS sel, doc_id % 8 AS a8, doc_id % 5 AS v5,
          CAST(320 + (doc_id % 17) * 16 AS INTEGER) AS w,
          CAST(240 + (doc_id % 11) * 16 AS INTEGER) AS h,
-         CAST(24 * (1 + doc_id % 8) AS INTEGER) AS nf
-  FROM documents)
-SELECT i AS media_id, kind,
+         CAST(24 + (doc_id % 17) * 2 AS INTEGER) AS wp,
+         CAST(16 + (doc_id % 11) * 2 AS INTEGER) AS hp,
+         CAST(24 * (1 + doc_id % 8) AS INTEGER) AS nf,
+         doc_id % 256 AS s
+  FROM documents),
+ppm AS (
+  SELECT i, wp * hp * 3 AS n, s FROM base)
+SELECT b.i AS media_id, kind,
        CASE WHEN trunc THEN NULL
+            WHEN kind = 'image' AND sel = 0 THEN wp
             WHEN kind = 'image' THEN w
             WHEN kind = 'video' AND v5 <> 2 THEN 160
             END AS width,
        CASE WHEN trunc THEN NULL
+            WHEN kind = 'image' AND sel = 0 THEN hp
             WHEN kind = 'image' THEN h
             WHEN kind = 'video' AND v5 <> 2 THEN 120
             END AS height,
        CASE WHEN kind = 'audio' AND NOT trunc THEN 16000 END AS sample_rate,
        CASE WHEN kind = 'video' AND v5 <> 2 AND NOT trunc THEN nf
             END AS n_frames,
+       CASE WHEN kind = 'image' AND sel = 0 AND NOT trunc THEN
+         CAST(({_PPM_CUMSUM.format(t="p.s + p.n")})
+              - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.n
+         END AS mean_pixel,
        CASE
          WHEN trunc THEN CASE
-           WHEN kind = 'image' AND sel IN (2, 5) THEN 'ValueError'  -- jpeg/png header cut
+           WHEN kind = 'image' AND sel IN (0, 2, 5) THEN 'ValueError' -- ppm/jpeg/png header cut
            WHEN kind = 'image' THEN 'error'                         -- gif/FIMG struct cut
            WHEN kind = 'audio' AND a8 = 1 THEN 'ValueError'         -- RIFF without WAVE
            WHEN kind = 'audio' THEN 'error'                         -- FAUD struct cut
@@ -1086,7 +1103,7 @@ SELECT i AS media_id, kind,
            ELSE 'error' END                                         -- FVID struct cut
          WHEN kind = 'video' AND v5 = 2 THEN 'not_implemented'      -- mp4 demux stub
          END AS error_kind
-FROM base
+FROM base b JOIN ppm p ON p.i = b.i
 ORDER BY media_id
 """
 
