@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs": _sql("incremental_new_docs"),
         "repetition_stats": _sql("repetition_stats"),
         "passage_chunks": _sql("passage_chunks"),
+        "pack_sequences": _sql("pack_sequences"),
         "ann_bruteforce_topk": _sql("ann_bruteforce_topk"),
         "dedup_embedding_cosine": _sql("dedup_embedding_cosine"),
         # hyperplane LSH: deterministic float64 plane literals + the oracle
@@ -565,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_new_docs",
         "repetition_stats",
         "passage_chunks",
+        "pack_sequences",
         "ann_bruteforce_topk",
         "dedup_embedding_cosine",
         "ann_lsh_topk",

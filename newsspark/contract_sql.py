@@ -565,6 +565,57 @@ ORDER BY doc_id, chunk_id
 """,
 )
 
+# --- GPT-style sequence packing (concat-and-chunk training windows) ----------
+# Per doc: which fixed-budget training window its first/last token lands in
+# when the whole corpus is concatenated in doc_id order.  All-integer
+# arithmetic (window DIV/MOD over exact token cumsums) — bit-exact across
+# engines.  The oracle-scale twin uses one global cumsum window; the
+# PRODUCTION builder (textops.pack_sequences) computes the identical cumsum
+# as a two-phase bucket prefix sum so no single-partition window ever sees
+# the corpus (pinned row-identical + plan-shape in tests/test_textops.py).
+_PACK_BUDGET = 128
+_dual(
+    "pack_sequences",
+    f"""
+WITH toks AS (
+  SELECT doc_id, CAST(size({_TOK_SPARK}) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(cum_before DIV {_PACK_BUDGET} AS BIGINT) AS start_seq,
+       CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS start_off,
+       CAST(CASE WHEN n_tokens = 0 THEN cum_before DIV {_PACK_BUDGET}
+                 ELSE (cum_before + n_tokens - 1) DIV {_PACK_BUDGET}
+            END AS BIGINT) AS end_seq
+FROM cum
+ORDER BY doc_id
+""",
+    f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOK_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS start_seq,
+       CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS start_off,
+       CAST(CASE WHEN n_tokens = 0 THEN cum_before // {_PACK_BUDGET}
+                 ELSE (cum_before + n_tokens - 1) // {_PACK_BUDGET}
+            END AS BIGINT) AS end_seq
+FROM cum
+ORDER BY doc_id
+""",
+)
+
 # --- n-gram decontamination (train/eval overlap check) ------------------------
 # The GPT-3-style decontamination shape: flag training documents sharing any
 # 5-token shingle with the benchmark/eval set (here: docs 0..9 stand in as

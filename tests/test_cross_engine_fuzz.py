@@ -40,6 +40,7 @@ FUZZ_QUERIES = (
     "bm25_topk",
     "incremental_new_docs",
     "unigram_logprob_buckets",
+    "pack_sequences",
 )
 
 # Alphabet constrained to Unicode-version-STABLE ranges: Java 17 regex ships

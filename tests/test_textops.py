@@ -781,3 +781,51 @@ def test_dedup_lines_hot_line_corpus_and_plan_shape(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin [line" not in plan, plan
     assert "ShuffledHashJoin [line" not in plan, plan
+
+
+def test_pack_sequences_equals_window_twin_and_plan_shape(spark):
+    """The two-phase bucket prefix-sum packer must return EXACTLY the
+    global-cumsum SQL twin's rows, and its plan must contain no
+    unpartitioned window over doc rows — the only doc-sided sum window
+    partitions by the doc_id-range bucket (tiny bucket_width here forces
+    many buckets so composition actually exercises)."""
+    _views(spark)
+    a = _pdf_sorted(textops.pack_sequences(
+        spark.read.parquet(f"{SF}/documents.parquet"), bucket_width=64))
+    b = _pdf_sorted(spark.sql(SPARK_SQL["pack_sequences"]))
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist()
+    plan = textops.pack_sequences(
+        spark.read.parquet(f"{SF}/documents.parquet"), bucket_width=64
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan)
+    # two windows: the tiny bucket-cum (ordered by bkt, no doc partition —
+    # over <= n/bucket_width rows) and the doc window partitioned by bkt
+    assert any(s.startswith("bkt#") for s in specs), specs
+
+
+def test_pack_sequences_semantics_planted(spark):
+    """Hand-checked packing: budget 10, docs of 4/8/0/10/3 tokens ->
+    windows cut at 10-token boundaries; empty doc collapses to its start
+    window; a doc landing exactly on a boundary starts at offset 0."""
+    rows = [
+        (0, "a b c d"),              # cum 0..3   -> seq 0, off 0, end 0
+        (1, "e f g h i j k l"),      # cum 4..11  -> seq 0, off 4, end 1
+        (2, ""),                     # '' splits to [''] -> 1 token, cum 12
+        (3, " ".join("x" * 1 for _ in range(10))),  # cum 13..22
+        (4, "y z w"),                # cum 23..25
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.pack_sequences(docs, budget=10, bucket_width=2).collect()}
+    assert (out[0]["start_seq"], out[0]["start_off"], out[0]["end_seq"]) == (0, 0, 0)
+    assert (out[1]["start_seq"], out[1]["start_off"], out[1]["end_seq"]) == (0, 4, 1)
+    assert out[2]["n_tokens"] == 1 and out[2]["start_off"] == 2
+    assert (out[3]["start_seq"], out[3]["start_off"], out[3]["end_seq"]) == (1, 3, 2)
+    assert (out[4]["start_seq"], out[4]["end_seq"]) == (2, 2)
+    # contiguity: each doc starts where the previous ended
+    cum = 0
+    for i in range(5):
+        assert out[i]["start_seq"] * 10 + out[i]["start_off"] == cum
+        cum += out[i]["n_tokens"]
