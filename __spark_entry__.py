@@ -132,15 +132,16 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata projection of the decode (oracle-checked: the generator's
     case table is a pure function of media_id, so DuckDB replays it); the
     LCG-dependent byte-statistics columns are pytest-covered instead.
-    ``mean_pixel`` IS oracle-checked: the PPM rows are fully pixel-decoded
-    and their gradient pixel plane has a closed-form mean DuckDB replays
-    exactly (cycle sums of (i + media_id) % 256)."""
+    ``mean_pixel`` and ``mean_sample`` ARE oracle-checked: PPM rows are
+    fully pixel-decoded and WAV rows fully PCM-decoded, and their gradient
+    payloads have closed-form means DuckDB replays exactly (cycle sums of
+    (index + media_id) % 256)."""
     from newsspark.multimodal import decode_media, media_df
 
     d = decode_media(media_df(spark, sf_dir))
     return d.select(
         "media_id", "kind", "width", "height", "sample_rate", "n_frames",
-        "mean_pixel",
+        "mean_pixel", "mean_sample",
         F.substring_index("error", ":", 1).alias("error_kind"),
     )
 

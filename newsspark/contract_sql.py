@@ -1144,6 +1144,14 @@ SELECT b.i AS media_id, kind,
          CAST(({_PPM_CUMSUM.format(t="p.s + p.n")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.n
          END AS mean_pixel,
+       -- WAV rows (a8==1): 2003 gradient int16 samples ((k+s)%256 - 128);
+       -- 2003 is prime so the mean never collapses to the 256-cycle
+       -- constant; exact integer sum then ONE double division == np.mean
+       CASE WHEN kind = 'audio' AND a8 = 1 AND NOT trunc THEN
+         CAST(({_PPM_CUMSUM.format(t="b.s + 2003")})
+              - ({_PPM_CUMSUM.format(t="b.s")}) - 128 * 2003 AS DOUBLE)
+         / 2003
+         END AS mean_sample,
        CASE
          WHEN trunc THEN CASE
            WHEN kind = 'image' AND sel IN (0, 2, 5) THEN 'ValueError' -- ppm/jpeg/png header cut

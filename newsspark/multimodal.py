@@ -7,6 +7,9 @@ The container has no image/audio codecs (no pillow/ffmpeg), so the
   (h, w, 3) pixel plane + an oracle-checked ``mean_pixel`` — the one
   stdlib-decodable image format, so the pixel path itself is real
   (VERDICT r3 #6), and PPM embeddings run over decoded pixels;
+- WAV (16-bit PCM) is FULLY decoded too — RIFF chunk walk + the complete
+  int16 sample array + an oracle-checked ``mean_sample`` — the audio twin
+  of the PPM path; WAV embeddings run over decoded samples;
 - payloads in the deterministic FAKE container formats below are "decoded"
   for real (header parse + byte statistics) — exercising the actual Spark
   plumbing: schema, binary Arrow transfer, batch shapes, partitioning;
@@ -130,8 +133,22 @@ def make_real_ppm(seed: int, width: int, height: int) -> bytes:
     return (f"P6\n{width} {height}\n255\n").encode("ascii") + pixels.tobytes()
 
 
+# samples actually written per synthetic WAV: PRIME on purpose — a multiple
+# of 256 would make every gradient mean collapse to the constant -0.5 and
+# the oracle column would stop discriminating between media rows
+WAV_MAX_SAMPLES = 2003
+
+
 def make_real_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
-    data = _lcg_bytes(seed, min(n_samples * 2, 4096))
+    """Real RIFF/WAVE with 16-bit PCM mono samples the stdlib can FULLY
+    decode (the audio twin of make_real_ppm): sample k is the gradient
+    ``((k + seed) % 256) - 128``, so the decoded mean has the same
+    closed-form cycle sum the media_decode oracle replays exactly."""
+    n = min(n_samples, WAV_MAX_SAMPLES)
+    samples = (
+        ((np.arange(n, dtype=np.int64) + seed) % 256) - 128
+    ).astype("<i2")
+    data = samples.tobytes()
     fmt = (
         b"fmt " + struct.pack("<I", 16)
         + struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
@@ -212,10 +229,33 @@ def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
 DECODE_SCHEMA = (
     "media_id long, kind string, width int, height int, sample_rate int, "
     "n_frames int, n_payload_bytes long, mean_byte double, byte_entropy double, "
-    "mean_pixel double, error string"
+    "mean_pixel double, mean_sample double, error string"
 )
 
 _PPM_HEADER_RE = re.compile(rb"\AP6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _wav_chunks(payload: bytes):
+    """Walk the RIFF chunk list: (sample_rate, int16-sample array or None).
+    The sample decode (16-bit PCM LE) is REAL — the audio twin of the PPM
+    pixel path.  Raises ValueError on malformed containers."""
+    if payload[8:12] != b"WAVE":
+        raise ValueError("riff: not a WAVE file")
+    i, n = 12, len(payload)
+    sr, samples = None, None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            sr = struct.unpack("<I", payload[i + 12 : i + 16])[0]
+        elif cid == b"data" and clen >= 2 and i + 8 + clen <= n:
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=clen // 2, offset=i + 8
+            )
+        i += 8 + clen + (clen & 1)
+    if sr is None:
+        raise ValueError("wav: no fmt chunk found")
+    return sr, samples
 
 
 def _ppm_pixels(payload: bytes):
@@ -287,17 +327,11 @@ def _parse_real_header(fmt: str, payload: bytes) -> dict:
             "mean_pixel": float(px.mean()),
         }
     if fmt == "wav/riff":
-        if payload[8:12] != b"WAVE":
-            raise ValueError("riff: not a WAVE file")
-        i, n = 12, len(payload)
-        while i + 8 <= n:
-            cid = payload[i : i + 4]
-            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
-            if cid == b"fmt ":
-                sr = struct.unpack("<I", payload[i + 12 : i + 16])[0]
-                return {"sample_rate": sr}
-            i += 8 + clen + (clen & 1)
-        raise ValueError("wav: no fmt chunk found")
+        sr, samples = _wav_chunks(payload)
+        out = {"sample_rate": sr}
+        if samples is not None:
+            out["mean_sample"] = float(samples.mean())
+        return out
     raise NotImplementedError(
         f"real {fmt} decode requires a demuxer/codec library"
     )
@@ -307,7 +341,7 @@ def _decode_one(payload) -> dict:
     """Parse the fake container header + byte statistics. Total per row."""
     out = dict(width=None, height=None, sample_rate=None, n_frames=None,
                n_payload_bytes=0, mean_byte=None, byte_entropy=None,
-               mean_pixel=None, error=None)
+               mean_pixel=None, mean_sample=None, error=None)
     if payload is None:
         out["error"] = "null payload"
         return out
@@ -366,7 +400,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             yield out[[
                 "media_id", "kind", "width", "height", "sample_rate",
                 "n_frames", "n_payload_bytes", "mean_byte", "byte_entropy",
-                "mean_pixel", "error",
+                "mean_pixel", "mean_sample", "error",
             ]]
 
     return media.mapInPandas(run, schema=DECODE_SCHEMA)
@@ -454,17 +488,28 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                     vecs.append(None)
                     errs.append("payload too short to embed")
                     continue
-                if bytes(payload[:2]) == b"P6":
-                    # the real pixel path feeds the embedding: decode the
-                    # PPM plane and embed over PIXELS, not container bytes
+                raw = bytes(payload)
+                # the real decode paths feed the embedding: PPM rows embed
+                # over decoded PIXELS and WAV rows over decoded PCM
+                # SAMPLES, not container bytes
+                if raw[:2] == b"P6":
                     try:
-                        arr = _ppm_pixels(bytes(payload)).reshape(-1)
+                        arr = _ppm_pixels(raw).reshape(-1)
                     except ValueError as exc:
                         vecs.append(None)
                         errs.append(f"ppm: {exc}")
                         continue
+                elif raw[:4] == b"RIFF":
+                    try:
+                        _, arr = _wav_chunks(raw)
+                        if arr is None:
+                            raise ValueError("no data chunk")
+                    except ValueError as exc:
+                        vecs.append(None)
+                        errs.append(f"wav: {exc}")
+                        continue
                 else:
-                    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    arr = np.frombuffer(raw, dtype=np.uint8)
                 chunks = np.array_split(arr.astype(np.float32), dim)
                 vec = np.array([c.mean() if len(c) else 0.0 for c in chunks],
                                dtype=np.float32)

@@ -147,7 +147,16 @@ def range_join(
     keys spread across time bins, which is the skew win.
 
     Right columns arrive prefixed ``r_`` (``r_ts`` plus ``r_<c>``).
+    Raises ValueError when ``left`` already carries one of the synthesized
+    names (``_bin``, ``r_ts``, ``r_<c>``) — same guard as asof_join.
     """
+    reserved = {"_bin", "r_ts"} | {f"r_{c}" for c in right_cols}
+    clash = sorted(reserved.intersection(left.columns))
+    if clash:
+        raise ValueError(
+            f"range_join reserves column names {clash}; rename them on the "
+            "left DataFrame before joining"
+        )
     lo_i = F.expr(f"INTERVAL {lower}")
     up_i = F.expr(f"INTERVAL {upper}")
     win_lo = F.col(ts_col) - lo_i

@@ -228,3 +228,58 @@ def test_ppm_embed_uses_pixels(spark):
     assert out[0]["error"] is None and out[1]["error"] is None
     assert list(out[0]["embedding"]) == list(out[1]["embedding"])
     assert out[2]["embedding"] is None and "ppm" in out[2]["error"]
+
+
+def test_wav_sample_decode_is_real():
+    """The audio twin of the PPM test: make_real_wav's 16-bit PCM data
+    chunk decodes to the full int16 gradient sample array, its mean
+    matches the closed-form cycle sum the oracle replays, and short
+    payloads still parse sample_rate without a data chunk."""
+    from newsspark.multimodal import WAV_MAX_SAMPLES, _wav_chunks, make_real_wav
+
+    seed, sr = 1201, 16000
+    payload = make_real_wav(seed, sr, 50000)
+    got_sr, samples = _wav_chunks(payload)
+    n, s = WAV_MAX_SAMPLES, seed % 256
+    assert got_sr == sr and len(samples) == n
+
+    def F(t):
+        r = t % 256
+        return (t // 256) * 32640 + r * (r - 1) // 2
+
+    expect = (F(s + n) - F(s) - 128 * n) / n
+    assert float(samples.mean()) == expect
+
+    d = _decode_one(payload)
+    assert d["sample_rate"] == sr and d["mean_sample"] == expect
+    assert d["error"] is None
+
+    # fewer samples than the cap: decode follows the data chunk length
+    small = make_real_wav(3, 8000, 7)
+    _, s7 = _wav_chunks(small)
+    assert len(s7) == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a WAVE"):
+        _wav_chunks(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_wav_embed_uses_samples(spark):
+    """embed_media embeds WAV rows over decoded PCM samples: two WAVs with
+    identical samples but different chunk padding embed identically."""
+    import struct as _struct
+
+    from newsspark.multimodal import make_real_wav
+
+    a = make_real_wav(9, 16000, 100)
+    # inject a junk chunk between fmt and data: same decoded samples
+    i = a.index(b"data")  # safe here: first occurrence is the chunk id
+    junk = b"LIST" + _struct.pack("<I", 4) + b"INFO"
+    b = a[:i] + junk + a[i:]
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in embed_media(df).collect()}
+    assert out[0]["error"] is None and out[1]["error"] is None
+    assert list(out[0]["embedding"]) == list(out[1]["embedding"])

@@ -180,3 +180,22 @@ def test_asof_reserved_column_guard(planted):
             asof_join(lefts.withColumn(bad, F.lit(1)), rights)
     # clean left still works
     assert asof_join(lefts, rights).count() == 4
+
+
+def test_range_join_reserved_column_guard(spark):
+    """Same collision guard as asof_join, for range_join's synthesized
+    names (_bin, r_ts, r_<c>)."""
+    from newsspark.relops import range_join
+
+    lefts = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rights = spark.createDataFrame(
+        [(10, "2024-01-01 10:30:00", 1.0)],
+        "user_id long, ts string, rval double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for bad in ("_bin", "r_ts", "r_rval"):
+        with pytest.raises(ValueError, match="reserves column names"):
+            range_join(lefts.withColumn(bad, F.lit(1)), rights)
+    assert range_join(lefts, rights).count() == 1
