@@ -381,6 +381,30 @@ def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction end-to-end (the crawl-side sibling of the image
+    pipeline): one real HTML page synthesized per documents row, parsed
+    with the actual DOM (htmlite) + urljoin absolutization; DuckDB replays
+    the deterministic synthesis as string arithmetic (the pdf_extract
+    oracle pattern)."""
+    from newsspark.linkops import extract_links_table, synth_link_pages
+
+    return extract_links_table(synth_link_pages(_docs(spark, sf_dir)))
+
+
+def _link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-frontier aggregation over the extracted outlinks."""
+    from newsspark.linkops import (
+        extract_links_table,
+        link_frontier,
+        synth_link_pages,
+    )
+
+    return link_frontier(
+        extract_links_table(synth_link_pages(_docs(spark, sf_dir)))
+    )
+
+
 def _host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-host stats: the explicit pmod-salt -> partial -> final
     two-phase (textops.host_stats_salted) over the same host projection as
@@ -412,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_from_warc": _extract_from_warc,
         "api_payload_json": _api_payload_json,
         "pdf_extract": _pdf_extract,
+        "extract_links": _extract_links,
+        "link_frontier": _link_frontier,
         "compression_ratio": _compression_ratio,
         "curate_corpus": _curate_corpus,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
@@ -534,6 +560,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_from_warc",
         "api_payload_json",
         "pdf_extract",
+        "extract_links",
+        "link_frontier",
         "compression_ratio",
         "curate_corpus",
         "media_decode",

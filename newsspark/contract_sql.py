@@ -1718,6 +1718,71 @@ FROM b
 ORDER BY doc_id
 """
 
+# --- outlink extraction + crawl frontier (linkops.py) ------------------------
+# The pdf_extract pattern again: synth_link_page builds one real HTML page
+# per documents row (anchors rotating absolute / rooted-relative /
+# protocol-relative / mailto / fragment-only, rel=nofollow every 7th), the
+# Spark side parses the ACTUAL bytes (htmlite DOM + urljoin/urlsplit), and
+# DuckDB replays the synthesis as string arithmetic — mailto/fragment
+# anchors must vanish, relative forms must absolutize against the page url,
+# and the frontier is a plain per-host aggregation over the same rows.
+_LINK_ANCHORS_DUCK = """
+  SELECT doc_id, CAST(j AS INTEGER) AS anchor_idx, j,
+         (doc_id + j) % 5 AS kind,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS page_host
+  FROM documents, unnest(range(0, 3 + doc_id % 4)) AS t(j)
+"""
+_LINK_ROWS_DUCK = f"""
+WITH anchors AS ({_LINK_ANCHORS_DUCK}),
+links AS (
+  SELECT doc_id, anchor_idx,
+    CASE kind
+      WHEN 0 THEN 'https://h' || CAST((doc_id + j) % 5 AS VARCHAR)
+                  || '.example.org/art/' || CAST(doc_id AS VARCHAR)
+                  || '-' || CAST(j AS VARCHAR)
+      WHEN 1 THEN '/sec' || CAST(j AS VARCHAR) || '/item-'
+                  || CAST(doc_id AS VARCHAR) || '.html'
+      ELSE '//cdn' || CAST(j % 3 AS VARCHAR) || '.example.net/r/'
+                  || CAST(doc_id AS VARCHAR)
+    END AS href_raw,
+    CASE kind
+      WHEN 0 THEN 'https://h' || CAST((doc_id + j) % 5 AS VARCHAR)
+                  || '.example.org/art/' || CAST(doc_id AS VARCHAR)
+                  || '-' || CAST(j AS VARCHAR)
+      WHEN 1 THEN 'https://' || page_host || '/sec' || CAST(j AS VARCHAR)
+                  || '/item-' || CAST(doc_id AS VARCHAR) || '.html'
+      ELSE 'https://cdn' || CAST(j % 3 AS VARCHAR) || '.example.net/r/'
+                  || CAST(doc_id AS VARCHAR)
+    END AS href_abs,
+    CASE kind
+      WHEN 0 THEN 'h' || CAST((doc_id + j) % 5 AS VARCHAR) || '.example.org'
+      WHEN 1 THEN page_host
+      ELSE 'cdn' || CAST(j % 3 AS VARCHAR) || '.example.net'
+    END AS target_host,
+    CASE kind WHEN 0 THEN j % 5 = 0 WHEN 1 THEN TRUE ELSE FALSE
+      END AS is_internal,
+    (doc_id + j) % 7 = 0 AS is_nofollow
+  FROM anchors WHERE kind <= 2)
+"""
+DUCK_SQL["extract_links"] = f"""
+{_LINK_ROWS_DUCK}
+SELECT doc_id, anchor_idx, href_raw, href_abs, target_host,
+       is_internal, is_nofollow
+FROM links
+ORDER BY doc_id, anchor_idx
+"""
+DUCK_SQL["link_frontier"] = f"""
+{_LINK_ROWS_DUCK}
+SELECT target_host,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ref_docs,
+       CAST(sum(CASE WHEN is_nofollow THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nofollow
+FROM links
+GROUP BY target_host
+ORDER BY target_host
+"""
+
 # --- unigram-LM log-prob quality buckets (CCNet-style stratification) ---------
 # Train a unigram language model ON the corpus itself (token -> corpus
 # frequency), score every document by mean token log-probability, and cut

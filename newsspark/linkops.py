@@ -1,0 +1,151 @@
+"""Outlink extraction + crawl-frontier aggregation — the pipeline stage a
+Common-Crawl-style processor runs right after (or alongside) article
+extraction: pull every ``<a href>`` from the page DOM, absolutize, drop
+non-navigational schemes, and aggregate per-host in-degrees for the next
+crawl's frontier.  The reference pipeline stops at articles
+(extractor.py has no link stage); this is the additive crawl-side twin of
+the image pipeline (SURVEY.md §2 E1's sibling surface).
+
+Oracle strategy — the ``pdf_extract`` pattern (pdfops.py:22): a
+deterministic per-doc HTML page is synthesized as a PURE function of
+``doc_id`` (anchor kinds rotate absolute / rooted-relative /
+protocol-relative / mailto / fragment-only; a rel="nofollow" every 7th),
+the EXTRACTION side parses the actual bytes with the real DOM
+(htmlite.parse_html) + urllib.parse urljoin/urlsplit, and DuckDB replays
+the synthesis as string arithmetic — an exact oracle over any corpus.
+
+Scale shape (100 TB): synth and extract are each ONE fused
+``mapInPandas`` pass (map-only, partitions spread before the CPU-heavy
+parse — the tiny-parquet one-partition trap, CLAUDE.md); the frontier is
+a single (host) aggregation with map-side partials.  Extraction is TOTAL:
+malformed html yields zero link rows, never an executor death.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .htmlite import parse_html
+
+LINKS_DDL = (
+    "doc_id long, anchor_idx int, href_raw string, href_abs string, "
+    "target_host string, is_internal boolean, is_nofollow boolean"
+)
+
+# navigational schemes a frontier keeps; mailto:/javascript:/fragment-only
+# anchors are dropped (matching every production crawler's frontier filter)
+_KEEP_SCHEMES = ("http", "https")
+
+
+def page_url(doc_id: int) -> str:
+    return f"https://h{doc_id % 5}.example.org/sec{doc_id % 7}/page-{doc_id}.html"
+
+
+def synth_link_page(doc_id: int, title: str) -> str:
+    """Deterministic page with 3 + doc_id%4 anchors rotating through the
+    five href shapes a real crawl sees.  Pure function of its arguments —
+    DuckDB replays it as string arithmetic (see contract_sql twin)."""
+    anchors = []
+    for j in range(3 + doc_id % 4):
+        kind = (doc_id + j) % 5
+        if kind == 0:
+            href = f"https://h{(doc_id + j) % 5}.example.org/art/{doc_id}-{j}"
+        elif kind == 1:
+            href = f"/sec{j}/item-{doc_id}.html"
+        elif kind == 2:
+            href = f"//cdn{j % 3}.example.net/r/{doc_id}"
+        elif kind == 3:
+            href = f"mailto:contact{j}@example.org"
+        else:
+            href = f"#sec{j}"
+        rel = ' rel="nofollow"' if (doc_id + j) % 7 == 0 else ""
+        anchors.append(f'<a href="{href}"{rel}>link {j}</a>')
+    body = "\n".join(anchors)
+    return (
+        f"<html><head><title>{title}</title></head>"
+        f"<body><p>{title}</p>\n{body}\n</body></html>"
+    )
+
+
+def synth_link_pages(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
+    """(doc_id, url, html) — one synthesized page per documents row."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), page_url(int(d)),
+                 synth_link_page(int(d), str(t)[:40]))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "html"])
+
+    return docs.select("doc_id", "text").repartition(num_partitions).mapInPandas(
+        gen, schema="doc_id long, url string, html string"
+    )
+
+
+def _links_of(doc_id: int, url: str, html: str) -> list:
+    """REAL extraction: DOM parse -> every <a href> -> urljoin absolutize
+    -> scheme filter.  Total: any parse failure yields zero rows."""
+    out = []
+    try:
+        root = parse_html(html)
+        base_host = urlsplit(url).netloc
+        for j, a in enumerate(root.find_all("a")):
+            href = a.get("href")
+            if not href:
+                continue
+            absu = urljoin(url, href)
+            parts = urlsplit(absu)
+            if parts.scheme not in _KEEP_SCHEMES or not parts.netloc:
+                continue
+            if parts.fragment and absu.split("#", 1)[0] == url:
+                continue  # fragment-only self link
+            out.append((
+                doc_id, j, href, absu, parts.netloc,
+                parts.netloc == base_host,
+                "nofollow" in (a.get("rel") or ""),
+            ))
+    except Exception:
+        return []
+    return out
+
+
+def extract_links_table(pages: DataFrame) -> DataFrame:
+    """One row per kept anchor: (doc_id, anchor_idx, href_raw, href_abs,
+    target_host, is_internal, is_nofollow), totally ordered."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, u, h in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+                rows.extend(_links_of(int(d), str(u), str(h)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "anchor_idx", "href_raw", "href_abs",
+                "target_host", "is_internal", "is_nofollow",
+            ])
+
+    return pages.mapInPandas(run, schema=LINKS_DDL).orderBy(
+        "doc_id", "anchor_idx"
+    )
+
+
+def link_frontier(links: DataFrame) -> DataFrame:
+    """Per-host frontier stats for the next crawl: in-link count, distinct
+    referring docs, and how many arrive nofollow.  One agg shuffle with
+    map-side partials."""
+    return (
+        links.groupBy("target_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("doc_id").alias("n_ref_docs"),
+            F.sum(F.when(F.col("is_nofollow"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nofollow"),
+        )
+        .orderBy("target_host")
+    )

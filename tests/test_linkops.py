@@ -1,0 +1,77 @@
+"""Outlink extraction: real DOM parse + urljoin semantics against the
+deterministic synth, scheme/fragment filtering, totality on broken html,
+and the frontier aggregation."""
+import pytest
+
+from newsspark.linkops import (
+    _links_of,
+    extract_links_table,
+    link_frontier,
+    page_url,
+    synth_link_page,
+    synth_link_pages,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_links_of_all_five_anchor_kinds():
+    """doc_id=2 yields j=0..4 covering kinds 2,3,4,0,1: protocol-relative
+    absolutizes to https, mailto and fragment-only vanish, absolute passes
+    through, rooted-relative joins against the page host."""
+    doc_id = 2
+    html = synth_link_page(doc_id, "t")
+    rows = _links_of(doc_id, page_url(doc_id), html)
+    by_idx = {r[1]: r for r in rows}
+    assert set(by_idx) == {0, 3, 4}          # j=1 mailto, j=2 fragment dropped
+    # j=0: kind 2 protocol-relative
+    assert by_idx[0][3] == "https://cdn0.example.net/r/2"
+    assert by_idx[0][4] == "cdn0.example.net" and by_idx[0][5] is False
+    # j=3: kind 0 absolute, host h0 == page host h2? (2+3)%5=0 -> h0, page h2
+    assert by_idx[3][3] == "https://h0.example.org/art/2-3"
+    assert by_idx[3][5] is False
+    # j=4: kind 1 rooted-relative -> page host
+    assert by_idx[4][3] == "https://h2.example.org/sec4/item-2.html"
+    assert by_idx[4][4] == "h2.example.org" and by_idx[4][5] is True
+
+
+def test_links_of_nofollow_and_total_on_garbage():
+    # (doc_id + j) % 7 == 0 -> nofollow
+    rows = _links_of(7, page_url(7), synth_link_page(7, "t"))
+    nof = {r[1]: r[6] for r in rows}
+    assert nof[0] is True and all(v is False for j, v in nof.items() if j != 0)
+    # totality: arbitrary byte soup and half-open tags yield rows or nothing,
+    # never a raise
+    assert _links_of(0, "https://x/", "<a href=") == [] or True
+    assert isinstance(_links_of(0, "https://x/", "\x00<<>>&&"), list)
+    assert _links_of(0, "not a url", "<a href='#only'>x</a>") == []
+
+
+def test_extract_links_matches_duck_oracle_shape(spark):
+    import duckdb
+
+    from newsspark.contract_sql import DUCK_SQL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = extract_links_table(synth_link_pages(docs)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = con.execute(DUCK_SQL["extract_links"]).df()
+    assert len(got) == len(want)
+    assert got.columns.tolist() == want.columns.tolist()
+    a = got.sort_values(["doc_id", "anchor_idx"]).reset_index(drop=True)
+    b = want.sort_values(["doc_id", "anchor_idx"]).reset_index(drop=True)
+    assert a.astype(str).values.tolist() == b.astype(str).values.tolist()
+
+
+def test_link_frontier_counts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    links = extract_links_table(synth_link_pages(docs))
+    front = {r["target_host"]: r for r in link_frontier(links).collect()}
+    lp = links.toPandas()
+    for host, grp in lp.groupby("target_host"):
+        assert front[host]["n_inlinks"] == len(grp)
+        assert front[host]["n_ref_docs"] == grp["doc_id"].nunique()
+        assert front[host]["n_nofollow"] == int(grp["is_nofollow"].sum())
