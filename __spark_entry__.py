@@ -511,6 +511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d), hash_fn="md5_60"),
+        "dedup_simhash_pairs": lambda s, d: textops.dedup_simhash_pairs(
+            _docs(s, d), hash_fn="md5_60",
+            pre_dedup_exact=False, max_bucket=None,
+        ),
         # IVF: the driver entry runs the fixed-centroid oracle twin
         # (deterministic md5-derived centroid literals + sequential-fold
         # assignment — DuckDB replays assign/probe/rank exactly); the
@@ -603,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline",
         "dedup_components",
         "simhash64",
+        "dedup_simhash_pairs",
         "ann_ivf_topk",
         "stream_dedup_urls",
         "stream_hourly_counts",

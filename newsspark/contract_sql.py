@@ -1432,6 +1432,47 @@ FROM v ORDER BY doc_id
 """,
 )
 
+# SimHash PAIRS: band the 60-bit fingerprint into 4x15-bit values, self-join
+# on (band, value), verify with popcount(xor) <= 3.  Pigeonhole makes the
+# banding recall EXACT for hamming <= 3 (one of 4 bands must be untouched).
+# Replays textops.dedup_simhash_pairs(hash_fn='md5_60', pre_dedup_exact=
+# False, max_bucket=None) — the guards are pytest-pinned, the oracle runs
+# the unguarded semantics (the minhash pattern).
+_duck_only(
+    "dedup_simhash_pairs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS tokens FROM documents
+), tok AS (
+  SELECT doc_id, unnest(tokens) AS t FROM toks
+), h AS (
+  SELECT doc_id, {_h60_duck('t')} AS h FROM tok
+), v AS (
+  SELECT doc_id,
+         {_VOTE_COLS}
+  FROM h GROUP BY doc_id
+), sim AS (
+  SELECT doc_id,
+       {_PACK_EXPR} AS simhash
+  FROM v
+), bands AS (
+  SELECT doc_id, simhash, CAST(b AS INTEGER) AS b,
+         (simhash >> (CAST(b AS INTEGER) * 15)) & 32767 AS bv
+  FROM sim, unnest(range(0, 4)) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, p.doc_id AS doc_b,
+         a.simhash AS sa, p.simhash AS sb
+  FROM bands a JOIN bands p
+    ON a.b = p.b AND a.bv = p.bv AND a.doc_id < p.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+
 # --- skew-safe exact distinct per host (the SALTING pattern, SURVEY §4.2) ----
 # The synthesized corpus gives news.naver.com 20% of all rows (doc_id%5=0) —
 # a genuinely hot key.  A naive GROUP BY host + count(DISTINCT text) ships

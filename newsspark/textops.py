@@ -401,6 +401,119 @@ def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     return hashed.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
 
 
+def dedup_simhash_pairs(
+    docs: DataFrame,
+    hash_fn: str = "xxhash64",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    pre_dedup_exact: bool = True,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS — the missing half of simhash64 (which
+    only computes fingerprints): banded Hamming LSH candidates + popcount
+    verify, emitting ``(doc_a, doc_b, hamming)`` for every pair within
+    ``max_hamming`` bits.
+
+    Recall is EXACT, not probabilistic: with ``n_bands`` bands, a pair
+    differing in at most ``n_bands - 1`` bits leaves at least one band
+    untouched (pigeonhole), so every qualifying pair collides in some band
+    — the Manku/Google simhash-dedup banding argument.  ``max_hamming``
+    must therefore be <= ``n_bands - 1`` (enforced).
+
+    Scale shape (100 TB): fingerprints are the map-only simhash64 fold;
+    the only doc-grain shuffle is the (band, band_value) self-join, and
+    the verify is one integer popcount — no token data moves.  The two
+    web-corpus guards mirror :func:`minhash_lsh_candidates` exactly:
+    ``pre_dedup_exact`` collapses byte-identical clusters to O(B) star
+    edges (hamming 0) instead of O(B²) bucket pairs, and ``max_bucket``
+    drops oversized band buckets via a window count BEFORE the self-join.
+    ``pre_dedup_exact=False, max_bucket=None`` reproduces the unguarded
+    semantics the DuckDB oracle replays ("dedup_simhash_pairs" in
+    contract_sql.py, md5_60 twin)."""
+    from pyspark.sql import Window
+
+    n_bits = 64 if hash_fn == "xxhash64" else 60
+    if not 0 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, n_bands-1] for exact banding "
+            f"recall; got max_hamming={max_hamming}, n_bands={n_bands}"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bands must divide {n_bits}")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    base, star = docs, None
+    if pre_dedup_exact:
+        keyed = docs.select("doc_id", "text").withColumn(
+            "_th", F.md5(F.col("text"))
+        )
+        tagged = keyed.withColumn(
+            "_rep", F.min("doc_id").over(Window.partitionBy("_th"))
+        )
+        base = tagged.where(F.col("doc_id") == F.col("_rep")).select(
+            "doc_id", "text"
+        )
+        star = tagged.where(F.col("doc_id") != F.col("_rep")).select(
+            F.col("_rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    sim = simhash64(base, hash_fn=hash_fn)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("b"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("band.b").alias("b"), F.col("band.bv").alias("bv"),
+    )
+    if max_bucket is not None:
+        counted = bands.withColumn(
+            "n_ids", F.count("*").over(Window.partitionBy("b", "bv"))
+        )
+        bands = counted.where(F.col("n_ids") <= max_bucket).drop("n_ids")
+    a, p = bands.alias("a"), bands.alias("p")
+    cand = (
+        a.join(
+            p,
+            (F.col("a.b") == F.col("p.b"))
+            & (F.col("a.bv") == F.col("p.bv"))
+            & (F.col("a.doc_id") < F.col("p.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("p.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("p.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    if star is not None:
+        verified = verified.unionByName(star)
+    return verified.orderBy("doc_a", "doc_b")
+
+
 def jaccard_adjacent(docs: DataFrame) -> DataFrame:
     """n-gram (token-set) Jaccard over adjacent doc pairs — the verify stage
     a MinHash candidate pair feeds into, demonstrated on a deterministic pair

@@ -829,3 +829,51 @@ def test_pack_sequences_semantics_planted(spark):
     for i in range(5):
         assert out[i]["start_seq"] * 10 + out[i]["start_off"] == cum
         cum += out[i]["n_tokens"]
+
+
+def test_dedup_simhash_pairs_planted_neardups(spark):
+    """A 1-token edit of a 60-token doc flips few simhash bits -> the pair
+    must surface with small hamming; an unrelated doc must not pair."""
+    base = " ".join(f"word{j}" for j in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("word7", "changed")),
+         (3, " ".join(f"other{j}" for j in range(60)))],
+        "doc_id long, text string",
+    )
+    for fn in ("xxhash64", "md5_60"):
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                 for r in textops.dedup_simhash_pairs(
+                     df, hash_fn=fn, max_hamming=3).collect()}
+        assert set(pairs) == {(1, 2)}, (fn, pairs)
+        assert 0 < pairs[(1, 2)] <= 3
+
+
+def test_dedup_simhash_pairs_exact_dup_star_guard(spark):
+    """500 byte-identical docs: the guarded default emits exactly 499 star
+    edges (hamming 0) from the exact-dup pre-pass — never the O(B²) bucket
+    clique — and the unguarded closure over a small slice agrees."""
+    rows = [(i, "the very same boilerplate page body " * 5) for i in range(500)]
+    rows.append((900, " ".join(f"uniq{j}" for j in range(50))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = textops.dedup_simhash_pairs(docs).collect()
+    assert len(guarded) == 499
+    assert all(r["doc_a"] == 0 and r["hamming"] == 0 for r in guarded)
+    # closure equivalence on a small slice: star vs clique give identical
+    # connected components
+    small = docs.where("doc_id < 6 or doc_id = 900")
+    star = textops.dedup_simhash_pairs(small)
+    clique = textops.dedup_simhash_pairs(
+        small, pre_dedup_exact=False, max_bucket=None)
+    comp_star = {(r["doc_id"], r["component_id"])
+                 for r in textops.dedup_components(
+                     star.select("doc_a", "doc_b")).collect()}
+    comp_clique = {(r["doc_id"], r["component_id"])
+                   for r in textops.dedup_components(
+                       clique.select("doc_a", "doc_b")).collect()}
+    assert comp_star == comp_clique
+
+
+def test_dedup_simhash_pairs_validates_recall_bound(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exact banding"):
+        textops.dedup_simhash_pairs(docs, max_hamming=4, n_bands=4)
