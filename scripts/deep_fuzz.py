@@ -54,6 +54,16 @@ def main() -> None:
     print(f"emb suite: {n_emb} examples x {len(fuzz.EMB_FUZZ_QUERIES)} queries")
     run_emb()
     print("emb suite: OK")
+
+    @settings(max_examples=n_emb, deadline=None, database=None,
+              suppress_health_check=list(HealthCheck))
+    @given(pdf=fuzz._hash_corpus())
+    def run_hash(pdf):
+        fuzz._compare_docs_entries(spark, pdf, fuzz.HASH_FUZZ_QUERIES)
+
+    print(f"hash suite: {n_emb} examples x {len(fuzz.HASH_FUZZ_QUERIES)} queries")
+    run_hash()
+    print("hash suite: OK")
     spark.stop()
 
 

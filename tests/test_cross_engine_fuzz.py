@@ -345,3 +345,115 @@ def test_embedding_twins_agree_on_planted_edge_corpus(spark):
     X[10, ::2] = np.float32(-0.0)               # mixed signed zeros
     X[11] = (X[11] * np.float32(1e-40)).astype(np.float32)  # subnormals
     _compare_emb(spark, X, EMB_FUZZ_QUERIES)
+
+
+# --- hash-op queries through the REAL driver entries --------------------------
+# simhash votes, minhash banding, and component closures ride on the
+# md5-prefix 60-bit hash parity and pinned fold orders; the SQL-only fuzz
+# above cannot reach them because their entries are DataFrame builders, not
+# SPARK_SQL twins.  Reuse the emb suite's trick: write the fuzz corpus as
+# documents.parquet in a temp sf_dir (other tables symlinked) and run the
+# exact queries() callables against DUCK_SQL.
+
+HASH_FUZZ_QUERIES = (
+    "simhash64",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_pipeline",
+    "dedup_components",
+)
+
+
+def _compare_docs_entries(spark, pdf, names):
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from __spark_entry__ import _TABLES
+
+    root = tempfile.mkdtemp(prefix="newsspark_hash_fuzz_")
+    try:
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       f"{root}/documents.parquet")
+        for t in _TABLES:
+            if t != "documents":
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           f"{root}/{t}.parquet")
+        qs = entrymod.queries()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{root}/documents.parquet'"
+        )
+        for name in names:
+            spdf = qs[name](spark, root).toPandas()
+            opdf = con.execute(DUCK_SQL[name]).df()
+            scols, srows = frame_key(spdf)
+            ocols, orows = frame_key(opdf)
+            assert scols == ocols, (name, scols, ocols)
+            if len(spdf) and len(opdf):
+                sk, ok = dtype_kinds(spdf), dtype_kinds(opdf)
+                assert sk == ok, (name, sk, ok)
+            assert srows == orows, (
+                name,
+                [r for r in srows if r not in orows][:3],
+                [r for r in orows if r not in srows][:3],
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def _hash_corpus(draw):
+    """Docs corpus biased toward hash-op edge cases: exact duplicate
+    clusters (star-edge paths), 1-token near-dups (banding boundaries),
+    single-token docs, shared shingle tails."""
+    base_pdf = draw(_corpus())
+    rows = base_pdf.values.tolist()
+    nxt = int(base_pdf["doc_id"].max()) + 1
+    seed_text = draw(_text)
+    if draw(st.booleans()):          # exact-dup cluster of 3
+        for k in range(3):
+            rows.append([nxt, seed_text, "en", "src0", len(seed_text)])
+            nxt += 1
+    if draw(st.booleans()):          # near-dup: one token changed
+        words = (seed_text + " tail").split()
+        words[0] = "flip"
+        t2 = " ".join(words)
+        rows.append([nxt, seed_text, "en", "src1", len(seed_text)])
+        rows.append([nxt + 1, t2, "en", "src1", len(t2)])
+        nxt += 2
+    if draw(st.booleans()):          # single-token doc
+        rows.append([nxt, "solo", "en", "src2", 4])
+        nxt += 1
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pdf=_hash_corpus())
+def test_hash_op_entries_agree_on_arbitrary_corpora(spark, pdf):
+    _compare_docs_entries(spark, pdf, HASH_FUZZ_QUERIES)
+
+
+def test_hash_op_entries_agree_on_planted_edge_corpus(spark):
+    dup = "spark spark window merge " * 8
+    near = dup.replace("merge", "funge", 1)
+    rows = [
+        (0, dup, "en", "src0"), (1, dup, "en", "src1"),
+        (2, dup, "en", "src2"),                       # 3-clique exact dups
+        (3, near, "en", "src0"),                      # near-dup of the clique
+        (4, "solo", "en", "src1"),                    # single token
+        (5, " ".join(f"tok{j}" for j in range(40)), "en", "src2"),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    _compare_docs_entries(spark, pdf, HASH_FUZZ_QUERIES)
