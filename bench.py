@@ -189,6 +189,15 @@ def main() -> None:
             ),
         )
 
+        # round-4 lanes (also excluded from the headline total)
+        from newsspark.linkops import extract_links_table, synth_link_pages
+
+        timed("pack_sequences", lambda: textops.pack_sequences(docs))
+        timed("dedup_simhash_pairs",
+              lambda: textops.dedup_simhash_pairs(docs))
+        timed("extract_links", lambda: extract_links_table(
+            synth_link_pages(docs, num_partitions=CPUS)))
+
         import __spark_entry__ as entrymod
 
         entrymod._views(spark, SF_DIR)
@@ -211,7 +220,8 @@ def main() -> None:
         # in round 2) and the round-3 op lanes — keeping the lane set of
         # 'value' fixed preserves comparability across recorded rounds
         excluded = {"extract_cascade_w8", "dedup_lines", "pdf_extract",
-                    "dedup_minhash_lsh_unguarded", "dedup_pipeline_unguarded"}
+                    "dedup_minhash_lsh_unguarded", "dedup_pipeline_unguarded",
+                    "pack_sequences", "dedup_simhash_pairs", "extract_links"}
         total = round(
             sum(v for k, v in timings.items() if k not in excluded), 3
         )
