@@ -356,6 +356,16 @@ def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 
 
 def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
+    """Presentation wrapper over :func:`_simhash_core` (adds the doc_id
+    ordering the contract output wants).  Internal consumers
+    (:func:`dedup_simhash_pairs`) use the unsorted core — EliminateSorts
+    does NOT remove an orderBy under a join, so composing over this sorted
+    output paid a doc-grain rangepartition + global sort per self-join
+    side (probed in-plan, round 4)."""
+    return _simhash_core(docs, hash_fn=hash_fn).orderBy("doc_id")
+
+
+def _simhash_core(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token hashes.
     (``hash_fn="md5_60"`` computes a 60-bit variant over the SQL-expressible
     md5-prefix hash, bit j of the result = majority vote of bit j of the
@@ -398,7 +408,7 @@ def simhash64(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, bit: F.shiftleft(acc, 1).bitwiseOR(bit),
     )
-    return hashed.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+    return hashed.select("doc_id", packed.alias("simhash"))
 
 
 def dedup_simhash_pairs(
@@ -459,7 +469,7 @@ def dedup_simhash_pairs(
             F.col("doc_id").alias("doc_b"),
             F.lit(0).cast("long").alias("hamming"),
         )
-    sim = simhash64(base, hash_fn=hash_fn)
+    sim = _simhash_core(base, hash_fn=hash_fn)
     bands = sim.select(
         "doc_id",
         "simhash",

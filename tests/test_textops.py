@@ -877,3 +877,16 @@ def test_dedup_simhash_pairs_validates_recall_bound(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="exact banding"):
         textops.dedup_simhash_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_dedup_simhash_pairs_no_doc_grain_sort(spark):
+    """Composing over simhash64's SORTED output paid a doc-grain
+    rangepartition + global sort per self-join side (EliminateSorts does
+    not fire under a join — probed r4); the pairs op must use the
+    unsorted core: the only global sort left is the pairs-grain output
+    ordering."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = textops.dedup_simhash_pairs(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert not [l for l in plan.splitlines() if "Sort [doc_id" in l], plan
+    assert plan.count("rangepartitioning") == 1, plan
