@@ -143,7 +143,7 @@ def dedup_minhash_lsh(
         docs, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn,
         pre_dedup_exact=pre_dedup_exact, max_bucket=max_bucket,
     )
-    return pairs
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def minhash_lsh_candidates(
@@ -183,7 +183,13 @@ def minhash_lsh_candidates(
       oversized bucket can still pair through its other bands.
 
     ``pre_dedup_exact=False, max_bucket=None`` reproduces the unguarded
-    candidate semantics exactly (pytest pins this on the standard corpus)."""
+    candidate semantics exactly (pytest pins this on the standard corpus).
+
+    The returned pair set is UNSORTED — downstream composition (Jaccard
+    verify, connected components) joins it immediately, and EliminateSorts
+    does not remove an orderBy under a join (probed r4: the sorted output
+    cost a pairs-grain rangepartition + global sort per consumer).  The
+    presentation ordering lives in :func:`dedup_minhash_lsh`."""
     rows_per_band = n_hashes // bands
     base = docs
     star = None
@@ -280,8 +286,7 @@ def minhash_lsh_candidates(
     )
     if star is not None:
         pairs = pairs.unionByName(star)
-    pairs = pairs.distinct().orderBy("doc_a", "doc_b")
-    return pairs, oversized.orderBy("band", "band_key")
+    return pairs.distinct(), oversized.orderBy("band", "band_key")
 
 
 def dedup_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
@@ -1136,7 +1141,10 @@ def dedup_pipeline(
     pre-pass / bucket cap guards of :func:`minhash_lsh_candidates` apply;
     exact-dup star edges verify at jaccard exactly 1.0 (identical token
     sets), so they always survive the threshold."""
-    cands = dedup_minhash_lsh(
+    # unsorted candidate form: the verify joins immediately, and a sorted
+    # input would pay a pairs-grain global sort under the join (see
+    # minhash_lsh_candidates' docstring)
+    cands, _ = minhash_lsh_candidates(
         docs, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn,
         pre_dedup_exact=pre_dedup_exact, max_bucket=max_bucket,
     )
