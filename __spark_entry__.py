@@ -141,7 +141,7 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = decode_media(media_df(spark, sf_dir))
     return d.select(
         "media_id", "kind", "width", "height", "sample_rate", "n_frames",
-        "mean_pixel", "mean_sample",
+        "duration_ms", "mean_pixel", "mean_sample",
         F.substring_index("error", ":", 1).alias("error_kind"),
     )
 

@@ -1130,16 +1130,22 @@ SELECT b.i AS media_id, kind,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN wp
             WHEN kind = 'image' THEN w
-            WHEN kind = 'video' AND v5 <> 2 THEN 160
+            WHEN kind = 'video' AND v5 = 2 THEN 640
+            WHEN kind = 'video' THEN 160
             END AS width,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN hp
             WHEN kind = 'image' THEN h
-            WHEN kind = 'video' AND v5 <> 2 THEN 120
+            WHEN kind = 'video' AND v5 = 2 THEN 360
+            WHEN kind = 'video' THEN 120
             END AS height,
        CASE WHEN kind = 'audio' AND NOT trunc THEN 16000 END AS sample_rate,
        CASE WHEN kind = 'video' AND v5 <> 2 AND NOT trunc THEN nf
             END AS n_frames,
+       -- REAL mp4 rows: mvhd duration replayed (timescale 1000, fps 24,
+       -- nf = 24*(1+i%8) -> exactly 1000*(1+i%8) ms)
+       CASE WHEN kind = 'video' AND v5 = 2 AND NOT trunc
+            THEN CAST((nf * 1000) // 24 AS INTEGER) END AS duration_ms,
        CASE WHEN kind = 'image' AND sel = 0 AND NOT trunc THEN
          CAST(({_PPM_CUMSUM.format(t="p.s + p.n")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.n
@@ -1160,7 +1166,6 @@ SELECT b.i AS media_id, kind,
            WHEN kind = 'audio' THEN 'error'                         -- FAUD struct cut
            WHEN kind = 'video' AND v5 = 2 THEN 'ValueError'         -- mp4 magic cut -> unknown container
            ELSE 'error' END                                         -- FVID struct cut
-         WHEN kind = 'video' AND v5 = 2 THEN 'not_implemented'      -- mp4 demux stub
          END AS error_kind
 FROM base b JOIN ppm p ON p.i = b.i
 ORDER BY media_id

@@ -13,11 +13,14 @@ The container has no image/audio codecs (no pillow/ffmpeg), so the
 - payloads in the deterministic FAKE container formats below are "decoded"
   for real (header parse + byte statistics) — exercising the actual Spark
   plumbing: schema, binary Arrow transfer, batch shapes, partitioning;
-- real JPEG / PNG / GIF / WAV payloads get a pure-stdlib HEADER parse
-  (SOF frame dims, IHDR dims, logical-screen dims, fmt sample rate) so
-  width/height/sample_rate populate without any codec; compressed
-  pixel/sample decode stays behind ``NotImplementedError`` (mp4 demux
-  too), routed to the per-row ``error`` column, never failing the job.
+- real JPEG / PNG / GIF payloads get a pure-stdlib HEADER parse (SOF
+  frame dims, IHDR dims, logical-screen dims) and real MP4 containers a
+  BOX-WALK demux (ftyp detection, moov/mvhd timescale+duration,
+  trak/tkhd 16.16 dimensions — the fields an ffprobe header read gives),
+  so width/height/duration populate without any codec; only COMPRESSED
+  payload decode (jpeg/png pixels, h264/aac frames) stays behind
+  ``NotImplementedError``/ValueError, routed to the per-row ``error``
+  column, never failing the job.
 
 Fake container formats (all big-endian):
   image: b"FIMG" | u32 width | u32 height | pixel bytes (luma, row-major,
@@ -53,8 +56,6 @@ _REAL_MAGICS = {
     b"RIFF": "wav/riff",
     b"GIF8": "gif",
     b"P6": "ppm",
-    b"\x00\x00\x00\x18ftyp": "mp4",
-    b"\x00\x00\x00\x20ftyp": "mp4",
 }
 
 
@@ -118,6 +119,77 @@ def make_real_png(seed: int, width: int, height: int) -> bytes:
 
 def make_real_gif(seed: int, width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + _lcg_bytes(seed, 32)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_real_mp4(seed: int, width: int, height: int,
+                  duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal REAL MP4 container: ftyp + moov(mvhd + trak(tkhd)) with the
+    standard box layout — a stdlib box walk recovers timescale/duration
+    (mvhd) and the 16.16 fixed-point track dimensions (tkhd), the same
+    fields an ffprobe header read reports.  No mdat/samples: FRAME data
+    stays behind the codec boundary; the demux-level metadata is real."""
+    ftyp = _mp4_box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42")
+    duration = duration_ms * timescale // 1000
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, duration)  # ver/flags,
+        + struct.pack(">IH", 0x00010000, 0x0100)             # ctime, mtime,
+        + b"\x00" * 10                                       # timescale,
+        + b"\x00" * 36                                       # duration...
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">IIIIII", 0, 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def _mp4_walk(payload: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in range."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", payload[i : i + 4])[0]
+        btype = payload[i + 4 : i + 8]
+        if size < 8 or i + size > end:
+            raise ValueError(f"mp4: bad box size {size} at {i}")
+        yield btype, i + 8, i + size
+        i += size
+
+
+def _mp4_meta(payload: bytes) -> dict:
+    """REAL demux-level metadata: box walk -> mvhd timescale/duration +
+    tkhd 16.16 dimensions.  Raises ValueError on malformed containers."""
+    out: dict = {}
+    moov = None
+    for btype, s, e in _mp4_walk(payload, 0, len(payload)):
+        if btype == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for btype, s, e in _mp4_walk(payload, *moov):
+        if btype == b"mvhd":
+            timescale, duration = struct.unpack(">II", payload[s + 12 : s + 20])
+            if timescale:
+                out["duration_ms"] = duration * 1000 // timescale
+        elif btype == b"trak":
+            for t2, s2, e2 in _mp4_walk(payload, s, e):
+                if t2 == b"tkhd":
+                    w, h = struct.unpack(">II", payload[e2 - 8 : e2])
+                    out["width"], out["height"] = w >> 16, h >> 16
+    if "duration_ms" not in out:
+        raise ValueError("mp4: no mvhd box")
+    return out
 
 
 def make_real_ppm(seed: int, width: int, height: int) -> bytes:
@@ -199,10 +271,11 @@ def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
                         meta = (0, 0, ns // (sr // 1000))
                     else:
                         w, h, nf, fps = 160, 120, 24 * (1 + i % 8), 24
-                        # every fifth video is an mp4 magic: header demux is
-                        # NOT implemented -> error column (the stub boundary)
+                        # every fifth video is a REAL mp4 container: the
+                        # box-walk demux recovers mvhd duration + tkhd
+                        # dims; frame DATA stays behind the codec boundary
                         payload = (
-                            b"\x00\x00\x00\x18ftypmp42" + _lcg_bytes(i, 64)
+                            make_real_mp4(i, 640, 360, nf * 1000 // fps)
                             if i % 5 == 2
                             else make_video(i, w, h, nf, fps)
                         )
@@ -228,8 +301,8 @@ def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
 
 DECODE_SCHEMA = (
     "media_id long, kind string, width int, height int, sample_rate int, "
-    "n_frames int, n_payload_bytes long, mean_byte double, byte_entropy double, "
-    "mean_pixel double, mean_sample double, error string"
+    "n_frames int, duration_ms int, n_payload_bytes long, mean_byte double, "
+    "byte_entropy double, mean_pixel double, mean_sample double, error string"
 )
 
 _PPM_HEADER_RE = re.compile(rb"\AP6\s+(\d+)\s+(\d+)\s+(\d+)\s")
@@ -277,6 +350,8 @@ def _ppm_pixels(payload: bytes):
 
 
 def _detect_real_format(payload: bytes):
+    if payload[4:8] == b"ftyp":  # iso-bmff: any size-prefixed ftyp box
+        return "mp4"
     for magic, name in _REAL_MAGICS.items():
         if payload[: len(magic)] == magic:
             return name
@@ -332,6 +407,8 @@ def _parse_real_header(fmt: str, payload: bytes) -> dict:
         if samples is not None:
             out["mean_sample"] = float(samples.mean())
         return out
+    if fmt == "mp4":
+        return _mp4_meta(payload)  # REAL box-walk demux metadata
     raise NotImplementedError(
         f"real {fmt} decode requires a demuxer/codec library"
     )
@@ -340,8 +417,9 @@ def _parse_real_header(fmt: str, payload: bytes) -> dict:
 def _decode_one(payload) -> dict:
     """Parse the fake container header + byte statistics. Total per row."""
     out = dict(width=None, height=None, sample_rate=None, n_frames=None,
-               n_payload_bytes=0, mean_byte=None, byte_entropy=None,
-               mean_pixel=None, mean_sample=None, error=None)
+               duration_ms=None, n_payload_bytes=0, mean_byte=None,
+               byte_entropy=None, mean_pixel=None, mean_sample=None,
+               error=None)
     if payload is None:
         out["error"] = "null payload"
         return out
@@ -399,8 +477,8 @@ def decode_media(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out[[
                 "media_id", "kind", "width", "height", "sample_rate",
-                "n_frames", "n_payload_bytes", "mean_byte", "byte_entropy",
-                "mean_pixel", "mean_sample", "error",
+                "n_frames", "duration_ms", "n_payload_bytes", "mean_byte",
+                "byte_entropy", "mean_pixel", "mean_sample", "error",
             ]]
 
     return media.mapInPandas(run, schema=DECODE_SCHEMA)

@@ -47,7 +47,12 @@ def test_decode_parses_fake_containers(spark, media):
     assert all(r["width"] >= 320 and r["height"] >= 240
                and r["mean_pixel"] is None for r in rest)
     assert all(r["sample_rate"] == 16000 for r in auds)
-    assert all(r["n_frames"] > 0 for r in vids)
+    # FVID fakes carry frame counts; real mp4s carry box-walk duration
+    fvids = [r for r in vids if r["media_id"] % 5 != 2]
+    mp4s = [r for r in vids if r["media_id"] % 5 == 2]
+    assert fvids and mp4s
+    assert all(r["n_frames"] > 0 for r in fvids)
+    assert all(r["duration_ms"] > 0 and r["n_frames"] is None for r in mp4s)
     assert all(0 <= r["byte_entropy"] <= 8 for r in imgs)
     # corrupt rows (~2%) land in the error column, never kill the job
     errs = [r for r in out.values() if r["error"] is not None]
@@ -70,9 +75,10 @@ def test_real_format_headers_parsed_without_codecs():
 
 
 def test_real_formats_without_parser_stubbed_not_crashed():
-    # mp4 demux is the stub boundary; malformed real headers error per-row
+    # malformed real headers error per-row, never raise: an ftyp with no
+    # moov box is a truncated container, not a crash
     mp4 = _decode_one(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
-    assert mp4["error"].startswith("not_implemented: real mp4")
+    assert mp4["error"] is not None and "no moov box" in mp4["error"]
     bad_jpeg = _decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     assert bad_jpeg["error"] is not None and "jpeg" in bad_jpeg["error"]
 
@@ -92,11 +98,15 @@ def test_planted_real_headers_decode_in_media_table(spark, media):
         if r["kind"] == "audio" and m % 8 == 1 and r["error"] is None
     ]
     assert wav_ids and all(out[m]["sample_rate"] == 16000 for m in wav_ids)
-    mp4_errs = [
-        r["error"] for m, r in out.items()
+    mp4s = [
+        r for m, r in out.items()
         if r["kind"] == "video" and m % 5 == 2 and m % 50 != 7
     ]
-    assert mp4_errs and all(e and "not_implemented" in e for e in mp4_errs)
+    assert mp4s, "corpus must plant real-mp4 rows"
+    for r in mp4s:
+        assert r["error"] is None
+        assert (r["width"], r["height"]) == (640, 360)
+        assert r["duration_ms"] == 1000 * (1 + r["media_id"] % 8)
 
 
 def test_decode_deterministic():
@@ -283,3 +293,26 @@ def test_wav_embed_uses_samples(spark):
     out = {r["media_id"]: r for r in embed_media(df).collect()}
     assert out[0]["error"] is None and out[1]["error"] is None
     assert list(out[0]["embedding"]) == list(out[1]["embedding"])
+
+
+def test_mp4_box_walk_demux_is_real():
+    """The mp4 path walks actual ISO-BMFF boxes (not a magic-string stub):
+    ftyp detection at any box size, mvhd timescale/duration, tkhd 16.16
+    dims; bad box sizes and missing moov/mvhd raise ValueError into the
+    error column."""
+    from newsspark.multimodal import _mp4_meta, make_real_mp4
+
+    payload = make_real_mp4(3, 1280, 720, 5500, timescale=600)
+    meta = _mp4_meta(payload)
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    # duration round-trips through the timescale: 5500ms * 600/1000 = 3300
+    # ticks -> 3300 * 1000 // 600 = 5500ms
+    assert meta["duration_ms"] == 5500
+
+    d = _decode_one(payload)
+    assert d["error"] is None and d["duration_ms"] == 5500
+    assert (d["width"], d["height"]) == (1280, 720)
+
+    cut = _decode_one(payload[: len(payload) - 20])
+    assert cut["error"] is not None  # moov box truncated -> bad box size
+    assert "mp4" in cut["error"]
