@@ -1171,24 +1171,28 @@ FROM base b JOIN ppm p ON p.i = b.i
 ORDER BY media_id
 """
 
-# frame sampling over the FVID videos: step = fps (every_ms=1000), mp4 rows
-# surface the not-a-video error row
+# frame sampling: FVID fakes sample frame INDICES (step = fps at
+# every_ms=1000); real mp4 rows sample TIMESTAMPS over the box-walk
+# duration (frame_idx NULL — no sample table is demuxed; a seek-based
+# extractor works in time).  No video row is ever truncated (i%50==7 is
+# odd, video ids are even), so no error branch exists in the case table.
 DUCK_SQL["media_frame_sample"] = """
 WITH vids AS (
   SELECT doc_id AS i, doc_id % 5 AS v5,
          24 * (1 + doc_id % 8) AS nf
   FROM documents WHERE doc_id % 4 = 2)
 SELECT i AS media_id, CAST(NULL AS INTEGER) AS frame_idx,
-       CAST(NULL AS INTEGER) AS ts_ms,
-       'not a video payload' AS error
-FROM vids WHERE v5 = 2
+       CAST(ts AS INTEGER) AS ts_ms,
+       CAST(NULL AS VARCHAR) AS error
+FROM vids, unnest(range(0, (nf * 1000) // 24, 1000)) AS t(ts)
+WHERE v5 = 2
 UNION ALL
 SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
        CAST((f * 1000) // 24 AS INTEGER) AS ts_ms,
        CAST(NULL AS VARCHAR) AS error
 FROM vids, unnest(range(0, nf, 24)) AS t(f)
 WHERE v5 <> 2
-ORDER BY media_id, frame_idx
+ORDER BY media_id, frame_idx, ts_ms
 """
 
 # --- multimodal embed -> ANN: oracled via a frozen embedding fixture --------

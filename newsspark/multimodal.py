@@ -530,17 +530,29 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None or bytes(payload[:4]) != b"FVID":
+                raw = bytes(payload) if payload is not None else b""
+                if raw[:4] == b"FVID":
+                    try:
+                        w, h, nf, fps = struct.unpack(">IIIH", raw[4:18])
+                    except Exception as exc:
+                        rows.append((media_id, None, None, f"header: {exc}"))
+                        continue
+                    step = max(1, round(fps * every_ms / 1000))
+                    for idx in range(0, nf, step):
+                        rows.append((media_id, idx, idx * 1000 // fps, None))
+                elif raw[4:8] == b"ftyp":
+                    # real mp4: no sample table demuxed, but the box walk
+                    # gives the duration — TIME-based sampling (frame_idx
+                    # NULL; a seek-based extractor works in timestamps)
+                    try:
+                        duration = _mp4_meta(raw)["duration_ms"]
+                    except ValueError as exc:
+                        rows.append((media_id, None, None, f"mp4: {exc}"))
+                        continue
+                    for ts in range(0, duration, every_ms):
+                        rows.append((media_id, None, ts, None))
+                else:
                     rows.append((media_id, None, None, "not a video payload"))
-                    continue
-                try:
-                    w, h, nf, fps = struct.unpack(">IIIH", bytes(payload[4:18]))
-                except Exception as exc:
-                    rows.append((media_id, None, None, f"header: {exc}"))
-                    continue
-                step = max(1, round(fps * every_ms / 1000))
-                for idx in range(0, nf, step):
-                    rows.append((media_id, idx, idx * 1000 // fps, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "ts_ms", "error"]
             )

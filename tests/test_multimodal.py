@@ -133,11 +133,18 @@ def test_frame_sample_explodes_rows(spark, media):
     by_media = {}
     for r in ok:
         by_media.setdefault(r["media_id"], []).append(r)
-    some = next(iter(by_media.values()))
-    idxs = sorted(r["frame_idx"] for r in some)
+    fvid = next(rows for m, rows in by_media.items() if m % 5 != 2)
+    idxs = sorted(r["frame_idx"] for r in fvid)
     assert idxs[0] == 0
     diffs = {b - a for a, b in zip(idxs, idxs[1:])}
     assert len(diffs) <= 1  # uniform stride
+    # real mp4 rows: TIME-based sampling over the demuxed duration
+    mp4 = next((m, rows) for m, rows in by_media.items() if m % 5 == 2)
+    m, rows = mp4
+    assert all(r["frame_idx"] is None for r in rows)
+    assert sorted(r["ts_ms"] for r in rows) == list(
+        range(0, 1000 * (1 + m % 8), 1000)
+    )
 
 
 def test_embeddings_normalized_and_ann_compatible(spark, media):
