@@ -1294,11 +1294,19 @@ def pack_sequences(
     prefix sum, never a single-partition global window —
       1. docs bucket by doc_id range (``floor(doc_id / bucket_width)``);
          per-bucket token totals aggregate map-side to one tiny row each;
-      2. a window over the TINY bucket-totals table (n_docs/bucket_width
-         rows) turns totals into per-bucket prefix offsets, broadcast back;
+      2. a window over the bucket-totals table (n_docs/bucket_width rows,
+         one partition) turns totals into per-bucket prefix offsets,
+         broadcast back;
       3. the per-doc running count is bucket_offset + a window partitioned
          by bucket — every window partition is one doc_id-range bucket.
     Same composition scheme as stratified_sample's rank (VERDICT r3 #1).
+
+    ``bucket_width`` is the scale knob balancing the two windows: the
+    bucket table holds n/bucket_width rows (single partition) and each
+    phase-3 partition holds bucket_width docs, so set it ~sqrt(n_docs) —
+    the 4096 default balances at n ~ 10^7-10^8; a 10^12-doc run passes
+    ~10^6 so BOTH sides stay ~10^6 rows (a few tens of MB), never the
+    244M-row single window the default would produce there.
     All arithmetic is integer, so the SQL twin ("pack_sequences" in
     contract_sql.py) matches bit-for-bit; builder equivalence and the
     no-global-window plan shape are pinned in tests/test_textops.py.
