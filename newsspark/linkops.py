@@ -71,8 +71,17 @@ def synth_link_page(doc_id: int, title: str) -> str:
     )
 
 
-def synth_link_pages(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
-    """(doc_id, url, html) — one synthesized page per documents row."""
+def synth_link_pages(
+    docs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """(doc_id, url, html) — one synthesized page per documents row.
+    Defaults to the session's parallelism (a fixed small number would
+    bottleneck the CPU-heavy synth/parse at scale)."""
+    base = docs.select("doc_id", "text")
+    if num_partitions is None:
+        num_partitions = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() != num_partitions:
+        base = base.repartition(num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,7 +92,7 @@ def synth_link_pages(docs: DataFrame, num_partitions: int = 8) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "url", "html"])
 
-    return docs.select("doc_id", "text").repartition(num_partitions).mapInPandas(
+    return base.mapInPandas(
         gen, schema="doc_id long, url string, html string"
     )
 
