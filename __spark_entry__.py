@@ -405,6 +405,21 @@ def _link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP longest-match robots filtering over the extracted outlinks:
+    broadcast rules dimension, per-link longest-prefix argmax, allow-wins
+    ties, default-allow for unruled hosts — the crawl stack's fetch gate."""
+    from newsspark.linkops import (
+        extract_links_table,
+        robots_filter,
+        robots_rules_df,
+        synth_link_pages,
+    )
+
+    links = extract_links_table(synth_link_pages(_docs(spark, sf_dir)))
+    return robots_filter(links, robots_rules_df(spark))
+
+
 def _host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-host stats: the explicit pmod-salt -> partial -> final
     two-phase (textops.host_stats_salted) over the same host projection as
@@ -438,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _pdf_extract,
         "extract_links": _extract_links,
         "link_frontier": _link_frontier,
+        "robots_filter": _robots_filter,
         "compression_ratio": _compression_ratio,
         "curate_corpus": _curate_corpus,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
@@ -566,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract",
         "extract_links",
         "link_frontier",
+        "robots_filter",
         "compression_ratio",
         "curate_corpus",
         "media_decode",

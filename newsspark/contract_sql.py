@@ -1833,6 +1833,48 @@ GROUP BY target_host
 ORDER BY target_host
 """
 
+
+def _robots_rules_values() -> str:
+    # one source of truth: linkops.default_robots_rules feeds both the
+    # Spark dimension table and these oracle literals
+    from newsspark.linkops import default_robots_rules
+
+    return ",\n    ".join(
+        f"('{h}', '{p}', {'TRUE' if a else 'FALSE'})"
+        for h, p, a in default_robots_rules()
+    )
+
+
+# REP longest-match semantics replayed: per link, longest matching prefix
+# wins, allow beats disallow at equal length, no match -> allowed.  A link
+# with no matching rule keeps exactly one LEFT-JOIN row, so NULL ordering
+# never decides a winner (same argument as the Spark window).
+DUCK_SQL["robots_filter"] = f"""
+{_LINK_ROWS_DUCK},
+pathed AS (
+  SELECT doc_id, anchor_idx, target_host,
+         regexp_replace(href_abs, '^https?://[^/]+', '') AS path
+  FROM links),
+rules(host, prefix, allow) AS (
+  VALUES
+    {_robots_rules_values()}
+),
+matched AS (
+  SELECT p.doc_id, p.anchor_idx, p.target_host, p.path,
+         r.prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY p.doc_id, p.anchor_idx
+           ORDER BY coalesce(length(r.prefix), -1) DESC,
+                    r.allow DESC, r.prefix) AS rn
+  FROM pathed p LEFT JOIN rules r
+    ON p.target_host = r.host AND starts_with(p.path, r.prefix))
+SELECT doc_id, anchor_idx, target_host, path,
+       coalesce(allow, TRUE) AS allowed,
+       prefix AS matched_prefix
+FROM matched WHERE rn = 1
+ORDER BY doc_id, anchor_idx
+"""
+
 # --- unigram-LM log-prob quality buckets (CCNet-style stratification) ---------
 # Train a unigram language model ON the corpus itself (token -> corpus
 # frequency), score every document by mean token log-probability, and cut

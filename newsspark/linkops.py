@@ -158,3 +158,70 @@ def link_frontier(links: DataFrame) -> DataFrame:
         )
         .orderBy("target_host")
     )
+
+
+# --- robots-rules filtering (REP longest-match semantics) --------------------
+
+def default_robots_rules() -> list:
+    """Deterministic per-host robots rules — pure literals shared with the
+    DuckDB oracle (the lsh_plane_component pattern), arranged so every
+    REP outcome occurs in the corpus: host h<k> disallows section k but
+    RE-ALLOWS the longer /sec<k>/item- prefix (longest-match precedence:
+    those links end ALLOWED), disallows section (k+1)%7 outright (those
+    item links end DENIED), and even hosts disallow /art/ (absolute links
+    DENIED).  cdn hosts carry no rules -> default allow."""
+    rules = []
+    for k in range(5):
+        h = f"h{k}.example.org"
+        rules.append((h, f"/sec{k}", False))
+        rules.append((h, f"/sec{k}/item-", True))
+        rules.append((h, f"/sec{(k + 1) % 7}", False))
+        if k % 2 == 0:
+            rules.append((h, "/art/", False))
+    return rules
+
+
+def robots_rules_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        default_robots_rules(), "host string, prefix string, allow boolean"
+    )
+
+
+def robots_filter(links: DataFrame, rules: DataFrame) -> DataFrame:
+    """Robots-exclusion filtering of a link table: per link, the LONGEST
+    matching path prefix among its host's rules decides ``allowed`` (ties
+    break allow-wins — the REP convention); hosts with no matching rule
+    default to allowed.
+
+    Scale shape: the rules table is a config-sized dimension -> broadcast
+    prefix join (no shuffle of the link side for matching); the
+    longest-match argmax is a window over per-link groups of at most
+    |matching rules| rows, shuffled on the uniform (doc_id, anchor_idx)
+    key.  Output keeps one row per input link, totally ordered."""
+    from pyspark.sql import Window
+
+    path = F.regexp_replace(F.col("href_abs"), r"^https?://[^/]+", "")
+    l = links.select(
+        "doc_id", "anchor_idx", "target_host", path.alias("path")
+    )
+    joined = l.join(
+        F.broadcast(rules),
+        (F.col("target_host") == F.col("host"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    # one row per link when no rule matches (left join), so NULL ordering
+    # never decides a winner; ties at equal length -> allow wins -> prefix
+    w = Window.partitionBy("doc_id", "anchor_idx").orderBy(
+        F.coalesce(F.length("prefix"), F.lit(-1)).desc(),
+        F.col("allow").desc(),
+        F.col("prefix"),
+    )
+    best = joined.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "doc_id", "anchor_idx", "target_host", "path",
+        F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        F.col("prefix").alias("matched_prefix"),
+    ).orderBy("doc_id", "anchor_idx")

@@ -75,3 +75,54 @@ def test_link_frontier_counts(spark):
         assert front[host]["n_inlinks"] == len(grp)
         assert front[host]["n_ref_docs"] == grp["doc_id"].nunique()
         assert front[host]["n_nofollow"] == int(grp["is_nofollow"].sum())
+
+
+def test_robots_filter_rep_semantics(spark):
+    """Every REP outcome on planted links: longest-match re-allow wins
+    over the shorter disallow, outright section disallow denies, /art/
+    denies on even hosts only, unruled cdn hosts default-allow."""
+    from newsspark.linkops import robots_filter, robots_rules_df
+
+    links = spark.createDataFrame(
+        [
+            # h0: /sec0 disallow + /sec0/item- re-allow (longer) -> ALLOWED
+            (0, 0, "h0.example.org", "https://h0.example.org/sec0/item-9.html"),
+            # h0: /sec1 disallow, no re-allow -> DENIED
+            (0, 1, "h0.example.org", "https://h0.example.org/sec1/item-9.html"),
+            # h0 (even): /art/ -> DENIED ; h1 (odd): /art/ -> ALLOWED
+            (0, 2, "h0.example.org", "https://h0.example.org/art/9-1"),
+            (0, 3, "h1.example.org", "https://h1.example.org/art/9-1"),
+            # cdn host: no rules -> ALLOWED
+            (0, 4, "cdn0.example.net", "https://cdn0.example.net/r/9"),
+            # h0 section with no rule at all -> ALLOWED
+            (0, 5, "h0.example.org", "https://h0.example.org/sec6/item-9.html"),
+        ],
+        "doc_id long, anchor_idx int, target_host string, href_abs string",
+    )
+    out = {r["anchor_idx"]: r for r in
+           robots_filter(links, robots_rules_df(spark)).collect()}
+    assert out[0]["allowed"] is True
+    assert out[0]["matched_prefix"] == "/sec0/item-"   # longest match won
+    assert out[1]["allowed"] is False
+    assert out[1]["matched_prefix"] == "/sec1"
+    assert out[2]["allowed"] is False and out[3]["allowed"] is True
+    assert out[4]["allowed"] is True and out[4]["matched_prefix"] is None
+    assert out[5]["allowed"] is True and out[5]["matched_prefix"] is None
+    # exactly one output row per input link
+    assert len(out) == 6
+
+
+def test_robots_filter_broadcasts_rules_and_covers_corpus(spark):
+    from newsspark.linkops import (
+        extract_links_table, robots_filter, robots_rules_df,
+        synth_link_pages,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    links = extract_links_table(synth_link_pages(docs))
+    out = robots_filter(links, robots_rules_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    pdf = out.toPandas()
+    assert pdf["allowed"].any() and (~pdf["allowed"]).any()  # real mix
+    assert len(pdf) == links.count()                         # totality
