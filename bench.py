@@ -197,6 +197,11 @@ def main() -> None:
               lambda: textops.dedup_simhash_pairs(docs))
         timed("extract_links", lambda: extract_links_table(
             synth_link_pages(docs, num_partitions=CPUS)))
+        from newsspark.linkops import robots_filter, robots_rules_df
+
+        timed("robots_filter", lambda: robots_filter(
+            extract_links_table(synth_link_pages(docs, num_partitions=CPUS)),
+            robots_rules_df(spark)))
 
         import __spark_entry__ as entrymod
 
@@ -221,7 +226,8 @@ def main() -> None:
         # 'value' fixed preserves comparability across recorded rounds
         excluded = {"extract_cascade_w8", "dedup_lines", "pdf_extract",
                     "dedup_minhash_lsh_unguarded", "dedup_pipeline_unguarded",
-                    "pack_sequences", "dedup_simhash_pairs", "extract_links"}
+                    "pack_sequences", "dedup_simhash_pairs", "extract_links",
+                    "robots_filter"}
         total = round(
             sum(v for k, v in timings.items() if k not in excluded), 3
         )
