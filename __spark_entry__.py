@@ -480,7 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _sql("quality_score"),
         "pii_scrub": _sql("pii_scrub"),
         "sample_hash_fraction": _sql("sample_hash_fraction"),
+        "shard_manifest": _sql("shard_manifest"),
         "stratified_sample": _sql("stratified_sample"),
+        "mixture_resample": _sql("mixture_resample"),
         "corpus_length_profile": _sql("corpus_length_profile"),
         "bm25_topk": _sql("bm25_topk"),
         "vocab_topk": _sql("vocab_topk"),
@@ -603,7 +605,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score",
         "pii_scrub",
         "sample_hash_fraction",
+        "shard_manifest",
         "stratified_sample",
+        "mixture_resample",
         "corpus_length_profile",
         "bm25_topk",
         "vocab_topk",

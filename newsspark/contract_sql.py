@@ -1533,6 +1533,41 @@ ORDER BY doc_id
 """,
 )
 
+# --- output shard manifest (training-data export sharding) -------------------
+# The export step's accounting table: every doc is assigned a shard by the
+# engine-portable CONTENT hash (pmod of the md5-60 prefix — reruns, engines
+# and cluster sizes all agree), and the manifest reports per-shard doc /
+# token / char mass.  Hash uniformity is what makes the 16 shards balanced;
+# the manifest is how a pipeline VERIFIES that instead of assuming it.
+# Map-side shard assignment pushes to the scan; one 16-group aggregation.
+_dual(
+    "shard_manifest",
+    f"""
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(size({_TOK_SPARK}) AS BIGINT)) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM (
+  SELECT text,
+         CAST(pmod(CAST(conv(substring(md5(concat('shard:', text)), 1, 15), 16, 10) AS BIGINT), 16) AS BIGINT) AS shard
+  FROM documents)
+GROUP BY shard
+ORDER BY shard
+""",
+    f"""
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(len({_TOK_DUCK}) AS BIGINT)) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM (
+  SELECT text,
+         CAST(CAST(concat('0x', substring(md5(concat('shard:', text)), 1, 15)) AS BIGINT) % 16 AS BIGINT) AS shard
+  FROM documents) s
+GROUP BY shard
+ORDER BY shard
+""",
+)
+
 # --- corpus vocabulary top-k (token frequency, two-level aggregation) --------
 # The "word count" of LLM data work: explode -> count per token (partial
 # aggregation map-side carries one row per distinct token per partition) ->
@@ -2216,6 +2251,74 @@ SELECT doc_id, lang,
        CAST(n_lang AS BIGINT) AS n_lang
 FROM ranked
 WHERE rn * 10 <= n_lang + 9
+ORDER BY doc_id
+""",
+)
+
+# --- temperature resampling (sqrt up-weighting as an actual sampler) ---------
+# Budget T = ceil(N/4) split across languages by sqrt(n_l)/sum(sqrt):
+# quota_l = least(floor(T * sqrt(n_l) / denom), n_l); each stratum keeps its
+# quota's hash-smallest docs.  Float discipline: denom folds sqrt(n) in LANG
+# order on both engines (sqrt is correctly rounded -> identical folds), the
+# quota is floor of ONE identical double expression, and T is integer
+# ceil-division — no boundary can flip cross-engine.  The twin below ranks
+# whole strata (oracle-scale); the production builder
+# (textops.mixture_resample) routes through stratified_sample's two-pass
+# selection with a quota table — same rows, no full-stratum sort.
+_dual(
+    "mixture_resample",
+    """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+agg AS (
+  SELECT aggregate(transform(array_sort(collect_list(named_struct('s', lang, 'n', n))),
+           x -> sqrt(CAST(x.n AS DOUBLE))),
+           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS denom,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM counts),
+q AS (
+  SELECT lang, n,
+         least(CAST(floor(((n_total * 1 + 3) DIV 4)
+                          * sqrt(CAST(n AS DOUBLE)) / denom) AS BIGINT),
+               n) AS quota
+  FROM counts CROSS JOIN agg),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+           ORDER BY md5(concat(d.text, CAST(d.doc_id AS STRING))),
+                    d.doc_id) AS rn,
+         q.quota, q.n AS n_lang
+  FROM documents d JOIN q ON d.lang = q.lang)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank,
+       quota, n_lang
+FROM ranked WHERE rn <= quota
+ORDER BY doc_id
+""",
+    """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+agg AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+           (acc, x) -> acc + x) AS denom,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM counts),
+q AS (
+  SELECT lang, n,
+         least(CAST(floor(((n_total * 1 + 3) // 4)
+                          * sqrt(CAST(n AS DOUBLE)) / denom) AS BIGINT),
+               n) AS quota
+  FROM counts CROSS JOIN agg),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+           ORDER BY md5(d.text || CAST(d.doc_id AS VARCHAR)),
+                    d.doc_id) AS rn,
+         q.quota, q.n AS n_lang
+  FROM documents d JOIN q ON d.lang = q.lang)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank,
+       quota, n_lang
+FROM ranked WHERE rn <= quota
 ORDER BY doc_id
 """,
 )

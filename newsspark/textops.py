@@ -1277,6 +1277,65 @@ def dedup_lines(
     )
 
 
+def mixture_resample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    numerator: int = 1,
+    denominator: int = 4,
+) -> DataFrame:
+    """Temperature-resampled corpus selection (the CCNet/XLM-R sqrt
+    up-weighting applied as an actual SAMPLER, not just reported weights):
+    a total budget T = ceil(N * num/den) docs is split across strata
+    proportionally to sqrt(n_l) — low-resource languages keep a larger
+    share than their raw frequency — and each stratum contributes its
+    quota's hash-smallest docs (deterministic, RNG-free, clamped at
+    availability).
+
+    quota_l = least(floor(T * sqrt(n_l) / denom), n_l) with denom the
+    sqrt(n_l) sum folded in strata order — the SAME pinned IEEE op order
+    as the DuckDB twin (sqrt is correctly rounded, so the folds agree
+    bit-for-bit; T uses integer ceil-division so no float boundary can
+    flip it).  Selection runs through :func:`stratified_sample`'s
+    two-pass distributed machinery with the quota table — no full-stratum
+    sort at any scale.  The window-formulated SQL twin
+    ("mixture_resample") is oracle-checked; builder==twin is pinned in
+    tests/test_textops.py.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(named_struct("
+            f"'s', {strata_col}, 'n', n))), "
+            "x -> sqrt(CAST(x.n AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("denom"),
+        F.sum("n").alias("n_total"),
+    )
+    quotas = counts.crossJoin(F.broadcast(agg)).select(
+        strata_col,
+        F.least(
+            F.expr(
+                f"CAST(floor(((n_total * {int(numerator)} + "
+                f"{int(denominator)} - 1) DIV {int(denominator)}) "
+                "* sqrt(CAST(n AS DOUBLE)) / denom) AS BIGINT)"
+            ),
+            F.col("n"),
+        ).alias("quota"),
+    )
+    picked = stratified_sample(docs, strata_col=strata_col, quotas=quotas)
+    return (
+        picked.join(F.broadcast(quotas), strata_col)
+        .select(
+            "doc_id",
+            F.col(strata_col),
+            "sample_rank",
+            F.col("quota").cast("long").alias("quota"),
+            "n_lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 128,
@@ -1408,6 +1467,7 @@ def stratified_sample(
     numerator: int = 1,
     denominator: int = 10,
     bucket_hex_chars: int = 4,
+    quotas: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-quota stratified sampling at scale: take exactly
     ceil(n * numerator/denominator) docs per stratum, chosen by
@@ -1433,6 +1493,12 @@ def stratified_sample(
     map-side passes and one tiny window.  Output = the SQL twin's rows
     EXACTLY (same hash order, same tie-break), pinned in
     tests/test_textops.py.
+
+    ``quotas`` (optional): a tiny ``(strata_col, quota long)`` table
+    replacing the uniform ceil(n * num/den) per-stratum quota — the hook
+    :func:`mixture_resample` uses for temperature-weighted per-language
+    targets.  Quotas clamp at the stratum size; strata absent from the
+    table (or with quota 0) are excluded.
     """
     from pyspark.sql import Window
 
@@ -1457,13 +1523,18 @@ def stratified_sample(
         (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
     )
     totals = counts.groupBy(strata_col).agg(F.sum("c").alias("n_lang"))
-    # integer ceil(n * num / den): no float boundary can flip a quota
-    quota = (
-        (F.col("n_lang") * frac_num + frac_den - 1) / frac_den
-    ).cast("long")
+    if quotas is None:
+        # integer ceil(n * num / den): no float boundary can flip a quota
+        quota_col = (
+            (F.col("n_lang") * frac_num + frac_den - 1) / frac_den
+        ).cast("long")
+        quoted = totals.withColumn("quota", quota_col)
+    else:
+        quoted = totals.join(F.broadcast(quotas), strata_col).withColumn(
+            "quota", F.least(F.col("quota").cast("long"), F.col("n_lang"))
+        )
     cut = (
-        cum.join(totals, strata_col)
-        .withColumn("quota", quota)
+        cum.join(quoted, strata_col)
         .where((F.col("cum_before") < F.col("quota"))
                & (F.col("cum") >= F.col("quota")))
         .select(strata_col, F.col("bkt").alias("cut_bkt"),

@@ -41,6 +41,8 @@ FUZZ_QUERIES = (
     "incremental_new_docs",
     "unigram_logprob_buckets",
     "pack_sequences",
+    "shard_manifest",
+    "mixture_resample",
 )
 
 # Alphabet constrained to Unicode-version-STABLE ranges: Java 17 regex ships

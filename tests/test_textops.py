@@ -890,3 +890,47 @@ def test_dedup_simhash_pairs_no_doc_grain_sort(spark):
     ).executedPlan().toString()
     assert not [l for l in plan.splitlines() if "Sort [doc_id" in l], plan
     assert plan.count("rangepartitioning") == 1, plan
+
+
+def test_mixture_resample_builder_equals_window_twin(spark):
+    """The two-pass quota-table sampler must return EXACTLY the
+    window-formulated SQL twin's rows (same quotas, same hash order,
+    same ranks), and inherit stratified_sample's plan shape: the only
+    doc-sided row_number window partitions by (lang, bkt)."""
+    _views(spark)
+    a = _pdf_sorted(textops.mixture_resample(
+        spark.read.parquet(f"{SF}/documents.parquet")))
+    b = _pdf_sorted(spark.sql(SPARK_SQL["mixture_resample"]))
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist()
+    plan = textops.mixture_resample(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("row_number()") == 1, plan
+
+
+def test_mixture_resample_sqrt_shares_and_clamp(spark):
+    """980 'en' + 16 'ko' + 4 'lo' docs, T = ceil(1000/4) = 250:
+    sqrt shares 31.30/4/2 of 37.30 -> quotas floor(250*s/denom) =
+    (209, 26, 13) before clamping; 'lo' clamps at its 4 available docs.
+    Low-resource languages keep a far larger share than raw frequency
+    (lo: 0.4% of docs -> 1.9% of the sample even after clamping)."""
+    import math
+
+    rows = [(i, f"text body {i}", "en" if i < 980 else
+             ("ko" if i < 996 else "lo")) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.mixture_resample(docs).toPandas()
+    denom = math.sqrt(980) + math.sqrt(16) + math.sqrt(4)
+    expect = {
+        "en": min(math.floor(250 * math.sqrt(980) / denom), 980),
+        "ko": min(math.floor(250 * math.sqrt(16) / denom), 16),
+        "lo": min(math.floor(250 * math.sqrt(4) / denom), 4),
+    }
+    got = out.groupby("lang")["doc_id"].size().to_dict()
+    assert got == expect, (got, expect)
+    assert expect["lo"] == 4          # clamped at availability
+    quotas = out.groupby("lang")["quota"].first().to_dict()
+    assert quotas == expect
+    for lang, grp in out.groupby("lang"):
+        assert sorted(grp["sample_rank"]) == list(range(1, len(grp) + 1))
