@@ -444,6 +444,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # Ordered cheapest-evidence-first: the driver samples a subset of the
+        # dict in order, so the four entries that had never appeared in any
+        # CORRECTNESS_r*.json through r4 (asof_join, range_join,
+        # host_stats_salted, dedup_simhash_pairs — VERDICT r4 "Next round"
+        # #1) lead, ahead of the expensive frozen-corpus/streaming entries.
+        "asof_join": _sql("asof_join"),
+        "range_join": _sql("range_join"),
+        "host_stats_salted": _host_stats_salted,
+        "dedup_simhash_pairs": lambda s, d: textops.dedup_simhash_pairs(
+            _docs(s, d), hash_fn="md5_60",
+            pre_dedup_exact=False, max_bucket=None,
+        ),
         # extraction engines end-to-end (rows-only checks)
         "extract_cascade": _extract_cascade,
         "extract_metrics": _extract_metrics,
@@ -529,10 +541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "simhash64": lambda s, d: textops.simhash64(_docs(s, d), hash_fn="md5_60"),
-        "dedup_simhash_pairs": lambda s, d: textops.dedup_simhash_pairs(
-            _docs(s, d), hash_fn="md5_60",
-            pre_dedup_exact=False, max_bucket=None,
-        ),
         # IVF: the driver entry runs the fixed-centroid oracle twin
         # (deterministic md5-derived centroid literals + sequential-fold
         # assignment — DuckDB replays assign/probe/rank exactly); the
@@ -549,13 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_counts": _stream_hourly_counts,
         "url_canonicalize": _sql("url_canonicalize"),
         "host_stats": _sql("host_stats"),
-        # explicit pmod-salt -> partial -> final two-phase over the same
-        # host projection; algebraic aggs make the unsalted SQL its oracle
-        "host_stats_salted": _host_stats_salted,
         "host_distinct_stats": _sql("host_distinct_stats"),
         "events_sessionize": _sql("events_sessionize"),
-        "asof_join": _sql("asof_join"),
-        "range_join": _sql("range_join"),
         # relational demonstrations
         "tpch_pricing_summary": _sql("tpch_pricing_summary"),
         "join_orders_by_nation": _sql("join_orders_by_nation"),
@@ -576,6 +579,10 @@ def oracle_sql() -> dict[str, str]:
     operation order — the trained-k-means IVF stays the production path,
     recall-pinned in pytest."""
     oracle_names = [
+        "asof_join",
+        "range_join",
+        "host_stats_salted",
+        "dedup_simhash_pairs",
         "extract_cascade",
         "extract_metrics",
         "extract_with_rules_join",
@@ -628,18 +635,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline",
         "dedup_components",
         "simhash64",
-        "dedup_simhash_pairs",
         "ann_ivf_topk",
         "stream_dedup_urls",
         "stream_hourly_counts",
         "dedup_embedding_cosine_lsh",
         "url_canonicalize",
         "host_stats",
-        "host_stats_salted",
         "host_distinct_stats",
         "events_sessionize",
-        "asof_join",
-        "range_join",
         "tpch_pricing_summary",
         "join_orders_by_nation",
         "events_hourly",

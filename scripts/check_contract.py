@@ -4,6 +4,7 @@ row-count + column names + order-insensitive values."""
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -76,9 +77,13 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_fail = 0
+    t_start = time.monotonic()
+    # per-entry wall times (spark + duck) so gate-trim targets are
+    # data-driven as the query count grows (VERDICT r4 "Next round" #8)
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
             spdf = sdf.toPandas()
@@ -86,15 +91,19 @@ def main():
             print(f"FAIL  {name}: spark error: {str(exc)[:300]}")
             n_fail += 1
             continue
+        spark_ms = (time.monotonic() - t0) * 1000
         if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(spdf)} rows, cols={list(spdf.columns)})")
+            print(f"ok*   {name}: rows-only ({len(spdf)} rows, "
+                  f"cols={list(spdf.columns)})  [{spark_ms:.0f}ms]")
             continue
+        t1 = time.monotonic()
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {str(exc)[:300]}")
             n_fail += 1
             continue
+        duck_ms = (time.monotonic() - t1) * 1000
         scols, srows = frame_key(spdf)
         ocols, orows = frame_key(opdf)
         if scols != ocols:
@@ -119,8 +128,11 @@ def main():
             print("   duck :", orows[i])
             n_fail += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows match")
-    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+            print(f"OK    {name}: {len(srows)} rows match  "
+                  f"[spark {spark_ms:.0f}ms, duck {duck_ms:.0f}ms]")
+    total_s = time.monotonic() - t_start
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}"
+          f"  (total {total_s:.1f}s)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
