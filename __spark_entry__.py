@@ -393,15 +393,17 @@ def _extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host crawl-frontier aggregation over the extracted outlinks."""
+    """Per-host crawl-frontier aggregation over the extracted outlinks
+    (composed over the UNSORTED links core — the sorted wrapper is
+    presentation-only)."""
     from newsspark.linkops import (
-        extract_links_table,
+        extract_links_core,
         link_frontier,
         synth_link_pages,
     )
 
     return link_frontier(
-        extract_links_table(synth_link_pages(_docs(spark, sf_dir)))
+        extract_links_core(synth_link_pages(_docs(spark, sf_dir)))
     )
 
 
@@ -410,14 +412,30 @@ def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast rules dimension, per-link longest-prefix argmax, allow-wins
     ties, default-allow for unruled hosts — the crawl stack's fetch gate."""
     from newsspark.linkops import (
-        extract_links_table,
+        extract_links_core,
         robots_filter,
         robots_rules_df,
         synth_link_pages,
     )
 
-    links = extract_links_table(synth_link_pages(_docs(spark, sf_dir)))
+    links = extract_links_core(synth_link_pages(_docs(spark, sf_dir)))
     return robots_filter(links, robots_rules_df(spark))
+
+
+def _crawl_frontier_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl stack end to end: robots-gated frontier — per-host stats
+    aggregated over ONLY the REP-allowed links (broadcast rules +
+    WindowGroupLimit argmax + map-side-partial host agg, all over the
+    unsorted links core)."""
+    from newsspark.linkops import (
+        crawl_frontier_gated,
+        extract_links_core,
+        robots_rules_df,
+        synth_link_pages,
+    )
+
+    links = extract_links_core(synth_link_pages(_docs(spark, sf_dir)))
+    return crawl_frontier_gated(links, robots_rules_df(spark))
 
 
 def _host_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _extract_links,
         "link_frontier": _link_frontier,
         "robots_filter": _robots_filter,
+        "crawl_frontier_gated": _crawl_frontier_gated,
         "compression_ratio": _compression_ratio,
         "curate_corpus": _curate_corpus,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
@@ -592,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links",
         "link_frontier",
         "robots_filter",
+        "crawl_frontier_gated",
         "compression_ratio",
         "curate_corpus",
         "media_decode",

@@ -1910,6 +1910,41 @@ FROM matched WHERE rn = 1
 ORDER BY doc_id, anchor_idx
 """
 
+# The crawl stack composed: frontier aggregation over ONLY the
+# robots-allowed links — the same longest-match replay as robots_filter
+# (carrying is_nofollow through the argmax), filtered to allowed, then the
+# same per-host aggregation as link_frontier.
+DUCK_SQL["crawl_frontier_gated"] = f"""
+{_LINK_ROWS_DUCK},
+pathed AS (
+  SELECT doc_id, anchor_idx, target_host, is_nofollow,
+         regexp_replace(href_abs, '^https?://[^/]+', '') AS path
+  FROM links),
+rules(host, prefix, allow) AS (
+  VALUES
+    {_robots_rules_values()}
+),
+matched AS (
+  SELECT p.doc_id, p.anchor_idx, p.target_host, p.is_nofollow,
+         r.allow,
+         row_number() OVER (
+           PARTITION BY p.doc_id, p.anchor_idx
+           ORDER BY coalesce(length(r.prefix), -1) DESC,
+                    r.allow DESC, r.prefix) AS rn
+  FROM pathed p LEFT JOIN rules r
+    ON p.target_host = r.host AND starts_with(p.path, r.prefix)),
+allowed AS (
+  SELECT * FROM matched WHERE rn = 1 AND coalesce(allow, TRUE))
+SELECT target_host,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ref_docs,
+       CAST(sum(CASE WHEN is_nofollow THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nofollow
+FROM allowed
+GROUP BY target_host
+ORDER BY target_host
+"""
+
 # --- unigram-LM log-prob quality buckets (CCNet-style stratification) ---------
 # Train a unigram language model ON the corpus itself (token -> corpus
 # frequency), score every document by mean token log-probability, and cut

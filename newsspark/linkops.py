@@ -23,6 +23,7 @@ malformed html yields zero link rows, never an executor death.
 
 from __future__ import annotations
 
+import html as _html
 from typing import Iterator
 from urllib.parse import urljoin, urlsplit
 
@@ -48,7 +49,15 @@ def page_url(doc_id: int) -> str:
 def synth_link_page(doc_id: int, title: str) -> str:
     """Deterministic page with 3 + doc_id%4 anchors rotating through the
     five href shapes a real crawl sees.  Pure function of its arguments —
-    DuckDB replays it as string arithmetic (see contract_sql twin)."""
+    DuckDB replays it as string arithmetic (see contract_sql twin).
+
+    ``title`` is html-escaped before interpolation: the DuckDB twins are
+    pure functions of doc_id only, so corpus text that contained markup
+    (e.g. ``<a href=...`` in its first 40 chars) would otherwise add
+    anchors on the Spark side alone and break oracle parity on such a
+    corpus.  Escaping is parity-neutral (the twin ignores the title) and
+    makes the oracle corpus-independent (ADVICE r4)."""
+    title = _html.escape(title)
     anchors = []
     for j in range(3 + doc_id % 4):
         kind = (doc_id + j) % 5
@@ -124,9 +133,13 @@ def _links_of(doc_id: int, url: str, html: str) -> list:
     return out
 
 
-def extract_links_table(pages: DataFrame) -> DataFrame:
-    """One row per kept anchor: (doc_id, anchor_idx, href_raw, href_abs,
-    target_host, is_internal, is_nofollow), totally ordered."""
+def extract_links_core(pages: DataFrame) -> DataFrame:
+    """UNSORTED link rows — the composition form.  Downstream operators
+    (link_frontier, robots_filter, crawl_frontier_gated) build on this:
+    EliminateSorts removes an orderBy under an aggregate but NOT under a
+    join/window, so composing over the sorted wrapper can pay a redundant
+    link-grain range-partition + global sort (the simhash/minhash r4
+    lesson; CLAUDE.md traps).  Present with extract_links_table."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -138,9 +151,14 @@ def extract_links_table(pages: DataFrame) -> DataFrame:
                 "target_host", "is_internal", "is_nofollow",
             ])
 
-    return pages.mapInPandas(run, schema=LINKS_DDL).orderBy(
-        "doc_id", "anchor_idx"
-    )
+    return pages.mapInPandas(run, schema=LINKS_DDL)
+
+
+def extract_links_table(pages: DataFrame) -> DataFrame:
+    """One row per kept anchor: (doc_id, anchor_idx, href_raw, href_abs,
+    target_host, is_internal, is_nofollow), totally ordered (presentation
+    wrapper over extract_links_core)."""
+    return extract_links_core(pages).orderBy("doc_id", "anchor_idx")
 
 
 def link_frontier(links: DataFrame) -> DataFrame:
@@ -187,22 +205,18 @@ def robots_rules_df(spark) -> DataFrame:
     )
 
 
-def robots_filter(links: DataFrame, rules: DataFrame) -> DataFrame:
-    """Robots-exclusion filtering of a link table: per link, the LONGEST
-    matching path prefix among its host's rules decides ``allowed`` (ties
-    break allow-wins — the REP convention); hosts with no matching rule
-    default to allowed.
-
-    Scale shape: the rules table is a config-sized dimension -> broadcast
-    prefix join (no shuffle of the link side for matching); the
-    longest-match argmax is a window over per-link groups of at most
-    |matching rules| rows, shuffled on the uniform (doc_id, anchor_idx)
-    key.  Output keeps one row per input link, totally ordered."""
+def _robots_best(
+    links: DataFrame, rules: DataFrame, carry: tuple = ()
+) -> DataFrame:
+    """UNSORTED per-link REP verdict: one row per input link with the
+    longest-match rule applied (``allowed``/``matched_prefix``), carrying
+    any extra link columns named in ``carry`` through the window.  Shared
+    core of robots_filter and crawl_frontier_gated."""
     from pyspark.sql import Window
 
     path = F.regexp_replace(F.col("href_abs"), r"^https?://[^/]+", "")
     l = links.select(
-        "doc_id", "anchor_idx", "target_host", path.alias("path")
+        "doc_id", "anchor_idx", "target_host", path.alias("path"), *carry
     )
     joined = l.join(
         F.broadcast(rules),
@@ -223,5 +237,45 @@ def robots_filter(links: DataFrame, rules: DataFrame) -> DataFrame:
     return best.select(
         "doc_id", "anchor_idx", "target_host", "path",
         F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
-        F.col("prefix").alias("matched_prefix"),
-    ).orderBy("doc_id", "anchor_idx")
+        F.col("prefix").alias("matched_prefix"), *carry
+    )
+
+
+def robots_filter(links: DataFrame, rules: DataFrame) -> DataFrame:
+    """REP longest-match robots filtering of a link table: per link, the
+    LONGEST matching path prefix among its host's rules decides
+    ``allowed`` (ties break allow-wins — the REP convention); hosts with
+    no matching rule default to allowed.
+
+    Scale shape: the rules table is a config-sized dimension -> broadcast
+    prefix join (no shuffle of the link side for matching); the
+    longest-match argmax is a window over per-link groups of at most
+    |matching rules| rows, shuffled on the uniform (doc_id, anchor_idx)
+    key — Catalyst plans it as partial+final WindowGroupLimit.  Output
+    keeps one row per input link, totally ordered."""
+    return _robots_best(links, rules).orderBy("doc_id", "anchor_idx")
+
+
+def crawl_frontier_gated(links: DataFrame, rules: DataFrame) -> DataFrame:
+    """The crawl stack composed end to end: the next crawl's per-host
+    frontier aggregated over ONLY the robots-allowed links — what a real
+    fetch scheduler consumes (VERDICT r4 "Next round" #6).
+
+    Scale shape: filter-then-aggregate over the UNSORTED robots core —
+    broadcast rules join + one WindowGroupLimit exchange on the uniform
+    link key, then the same map-side-partial host aggregation as
+    link_frontier; no sort anywhere before the presentation orderBy."""
+    allowed = _robots_best(links, rules, carry=("is_nofollow",)).where(
+        F.col("allowed")
+    )
+    return (
+        allowed.groupBy("target_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("doc_id").alias("n_ref_docs"),
+            F.sum(F.when(F.col("is_nofollow"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nofollow"),
+        )
+        .orderBy("target_host")
+    )

@@ -549,6 +549,14 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     except ValueError as exc:
                         rows.append((media_id, None, None, f"mp4: {exc}"))
                         continue
+                    if duration <= 0:
+                        # per-row totality: a zero-length container must
+                        # still yield one (error) row, not vanish —
+                        # range(0, 0, every_ms) is empty (ADVICE r4)
+                        rows.append(
+                            (media_id, None, None, "mp4: zero duration")
+                        )
+                        continue
                     for ts in range(0, duration, every_ms):
                         rows.append((media_id, None, ts, None))
                 else:

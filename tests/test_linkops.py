@@ -126,3 +126,69 @@ def test_robots_filter_broadcasts_rules_and_covers_corpus(spark):
     pdf = out.toPandas()
     assert pdf["allowed"].any() and (~pdf["allowed"]).any()  # real mix
     assert len(pdf) == links.count()                         # totality
+
+
+def test_synth_title_markup_escaped():
+    """Corpus text carrying markup in its first 40 chars must NOT change
+    the anchor set: the title is html-escaped before interpolation, so
+    the oracle (a pure function of doc_id) stays corpus-independent."""
+    doc_id = 2
+    plain = _links_of(doc_id, page_url(doc_id), synth_link_page(doc_id, "t"))
+    evil = _links_of(
+        doc_id,
+        page_url(doc_id),
+        synth_link_page(doc_id, '<a href="https://evil.example/">x</a>'),
+    )
+    assert evil == plain
+    # and the escaped title round-trips as text, not as a tag
+    assert "&lt;a href=" in synth_link_page(doc_id, '<a href="x">y</a>')
+
+
+def test_crawl_frontier_gated_equals_filtered_frontier(spark):
+    """The composed robots-gated frontier must equal link_frontier run
+    over exactly the robots-allowed subset of the links."""
+    from newsspark.linkops import (
+        crawl_frontier_gated,
+        extract_links_core,
+        robots_filter,
+        robots_rules_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    links = extract_links_core(synth_link_pages(docs))
+    rules = robots_rules_df(spark)
+    got = crawl_frontier_gated(links, rules).toPandas()
+
+    verdicts = robots_filter(links, rules).select(
+        "doc_id", "anchor_idx", "allowed"
+    )
+    allowed_links = links.join(verdicts, ["doc_id", "anchor_idx"]).where(
+        "allowed"
+    )
+    want = link_frontier(allowed_links).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # denial is real: at least one host lost in-links vs the ungated frontier
+    ungated = link_frontier(links).toPandas().set_index("target_host")
+    gated = got.set_index("target_host")
+    assert (
+        ungated["n_inlinks"].sum() > gated["n_inlinks"].sum()
+    )
+
+
+def test_crawl_frontier_gated_plan_no_link_grain_sort(spark):
+    """Composed over the UNSORTED links core: no link-grain global sort
+    survives in the plan (EliminateSorts does not fire under joins —
+    CLAUDE.md trap); the only rangepartition is the tiny per-host output
+    ordering."""
+    from newsspark.linkops import (
+        crawl_frontier_gated,
+        extract_links_core,
+        robots_rules_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    links = extract_links_core(synth_link_pages(docs))
+    out = crawl_frontier_gated(links, robots_rules_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("rangepartitioning") == 1, plan

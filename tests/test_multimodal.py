@@ -5,6 +5,7 @@ error routing — is real and tested here."""
 import pytest
 
 from newsspark.multimodal import (
+    MEDIA_SCHEMA,
     decode_media,
     embed_media,
     frame_sample,
@@ -323,3 +324,25 @@ def test_mp4_box_walk_demux_is_real():
     cut = _decode_one(payload[: len(payload) - 20])
     assert cut["error"] is not None  # moov box truncated -> bad box size
     assert "mp4" in cut["error"]
+
+
+def test_frame_sample_zero_duration_mp4_yields_error_row(spark):
+    """Per-row totality: a real-world zero-length mp4 container must still
+    produce one (error) row, not silently vanish (range(0, 0, every_ms)
+    is empty) — ADVICE r4."""
+    from newsspark.multimodal import make_real_mp4
+
+    media = spark.createDataFrame(
+        [(1, 1, "video", make_real_mp4(1, 640, 360, duration_ms=0), 640,
+          360, 0),
+         (2, 2, "video", make_real_mp4(2, 640, 360, duration_ms=2000), 640,
+          360, 2000)],
+        MEDIA_SCHEMA,
+    )
+    out = frame_sample(media).collect()
+    zero = [r for r in out if r["media_id"] == 1]
+    assert len(zero) == 1
+    assert zero[0]["error"] == "mp4: zero duration"
+    assert zero[0]["ts_ms"] is None and zero[0]["frame_idx"] is None
+    ok = [r for r in out if r["media_id"] == 2]
+    assert len(ok) == 2 and all(r["error"] is None for r in ok)
