@@ -934,3 +934,31 @@ def test_mixture_resample_sqrt_shares_and_clamp(spark):
     assert quotas == expect
     for lang, grp in out.groupby("lang"):
         assert sorted(grp["sample_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_pack_sequences_bucket_width_self_scales(spark):
+    """Default bucket_width=None derives ~sqrt(n): the derivation is
+    monotone and power-of-two with a 256 floor (so a forced large-n path
+    picks a wider bucket), and the derived-path output still equals the
+    explicit-width output with no global doc-grain window in the plan."""
+    from newsspark.textops import _derive_bucket_width
+
+    assert _derive_bucket_width(0) == 256
+    assert _derive_bucket_width(10_000) == 256           # floor binds
+    assert _derive_bucket_width(10**8) == 16384          # ~sqrt(1e8)=1e4
+    assert _derive_bucket_width(10**12) == 2**20         # ~sqrt(1e12)=1e6
+    widths = [_derive_bucket_width(10**k) for k in range(13)]
+    assert widths == sorted(widths)                      # monotone in n
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    auto = _pdf_sorted(textops.pack_sequences(docs))
+    explicit = _pdf_sorted(
+        textops.pack_sequences(docs, bucket_width=_derive_bucket_width(docs.count()))
+    )
+    assert auto.values.tolist() == explicit.values.tolist()
+    plan = textops.pack_sequences(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    import re
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan)
+    assert any(s.startswith("bkt#") for s in specs), specs
