@@ -24,8 +24,17 @@ class ParquetCatalog:
     def path(self, table: str) -> str:
         return f"{self.base_dir}/{table}"
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self.path(table))
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: Optional[list] = None,
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))
@@ -70,8 +79,20 @@ class IcebergCatalog:
     def _ident(self, table: str) -> str:
         return f"{self.catalog}.{self.namespace}.{table}"
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: Optional[list] = None,
+    ) -> None:
         writer = df.writeTo(self._ident(table))
+        if partition_by and mode != "append":
+            # identity partition spec (Iceberg partitionedBy applies at
+            # table (re)creation; appends inherit the existing spec)
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
             writer.append()
         else:

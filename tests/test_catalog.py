@@ -34,6 +34,10 @@ class _WriterRecorder:
     def createOrReplace(self):
         self._calls.append("createOrReplace")
 
+    def partitionedBy(self, *cols):
+        self._calls.append(f"partitionedBy({len(cols)})")
+        return self
+
 
 class _FakeDF:
     """Stands in for a DataFrame at the writeTo seam."""
@@ -84,6 +88,12 @@ def test_iceberg_catalog_call_shape(spark, tmp_path):
     cat.write(df, "articles")  # default mode=overwrite
     assert df.idents == ["lake.ns.articles", "lake.ns.articles"]
     assert df.calls == ["append", "createOrReplace"]
+
+    # partitioned write: identity spec at (re)creation, inherited on append
+    df2 = _FakeDF()
+    cat.write(df2, "shards", partition_by=["shard"])
+    cat.write(df2, "shards", mode="append", partition_by=["shard"])
+    assert df2.calls == ["partitionedBy(1)", "createOrReplace", "append"]
 
     fake = _FakeSpark([_FakeRow((4242,))])
     snap = cat.snapshot_id(fake, "articles")

@@ -962,3 +962,41 @@ def test_pack_sequences_bucket_width_self_scales(spark):
     specs = re.findall(
         r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan)
     assert any(s.startswith("bkt#") for s in specs), specs
+
+
+def test_export_shards_roundtrip_reconciles_with_manifest(spark, tmp_path):
+    """The export story closed end to end (VERDICT r4 #7): partitionBy
+    sharded write through the catalog seam -> read back -> the manifest
+    recomputed from files equals the shard_manifest contract query's
+    accounting, per shard, and the on-disk layout is one directory per
+    shard."""
+    import os
+
+    from newsspark.catalog import ParquetCatalog
+
+    _views(spark)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cat = ParquetCatalog(str(tmp_path))
+    # md5_60 replays the SQL twin's shard ids exactly
+    back_manifest = _pdf_sorted(
+        textops.export_shards(docs, cat, spark, hash_fn="md5_60")
+    )
+    want = _pdf_sorted(spark.sql(SPARK_SQL["shard_manifest"]))
+    assert list(back_manifest.columns) == list(want.columns) + []
+    assert back_manifest.values.tolist() == want.values.tolist()
+    # one directory per shard, hive-style
+    dirs = sorted(
+        d for d in os.listdir(cat.path("shards")) if d.startswith("shard=")
+    )
+    assert dirs == [f"shard={i}" for i in sorted(range(16), key=str)]
+    # doc identity survives the round trip (not just the aggregates)
+    back = cat.read(spark, "shards")
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # xxhash64 production path: same mass, possibly different shard split
+    m1 = spark.sql(SPARK_SQL["shard_manifest"]).toPandas()
+    m2 = textops.shard_manifest_df(
+        textops.assign_shards(docs, hash_fn="xxhash64")
+    ).toPandas()
+    assert m2["n_docs"].sum() == m1["n_docs"].sum()
+    assert m2["n_tokens"].sum() == m1["n_tokens"].sum()
