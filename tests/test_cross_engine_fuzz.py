@@ -459,3 +459,77 @@ def test_hash_op_entries_agree_on_planted_edge_corpus(spark):
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     ).astype({"doc_id": "int64", "n_chars": "int64"})
     _compare_docs_entries(spark, pdf, HASH_FUZZ_QUERIES)
+
+
+# --- linkops entries (synth replay: DuckDB twins are pure fns of doc_id) -----
+# The link oracles replay synth_link_page as string arithmetic OF doc_id
+# ONLY, so the fuzz axes are (a) doc_ids far outside the fixture range
+# (the synthesis/replay modular arithmetic must agree at 2^62) and (b)
+# document text whose first 40 chars carry markup/quotes/empty — the
+# html-escape guard must keep the Spark-side DOM parse from ever seeing
+# corpus text as anchors (ADVICE r4).  Non-negative doc_ids only: Python
+# and SQL disagree on negative modulo, and the corpus contract (TESTDATA)
+# has non-negative ids.
+
+LINK_FUZZ_QUERIES = (
+    "extract_links",
+    "link_frontier",
+    "robots_filter",
+    "crawl_frontier_gated",
+)
+
+_markup = st.sampled_from([
+    '<a href="https://evil.example/e">boom</a>',
+    '<a href=/sec9/item-0.html>x</a>',
+    "<a href='#frag'>y",
+    '"></p><a href="//cdn9.example.net/z">',
+    "&amp;&lt;&gt;<>",
+    "</body></html>",
+])
+_link_text = st.one_of(
+    _text,
+    st.just(""),
+    st.tuples(_markup, _text).map(lambda p: p[0] + " " + p[1]),
+    _markup,
+)
+
+
+@st.composite
+def _link_corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=10))
+    ids = draw(st.lists(st.integers(min_value=0, max_value=2**62),
+                        min_size=n, max_size=n, unique=True))
+    if draw(st.booleans()):
+        ids[0] = 0  # pin the origin so tiny-id arithmetic is always hit
+    rows = []
+    for k, i in enumerate(sorted(ids)):
+        t = draw(_link_text)
+        rows.append((i, t, "en", f"src{k % 3}", len(t)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pdf=_link_corpus())
+def test_link_entries_agree_on_arbitrary_corpora(spark, pdf):
+    _compare_docs_entries(spark, pdf, LINK_FUZZ_QUERIES)
+
+
+def test_link_entries_agree_on_planted_markup_corpus(spark):
+    """Deterministic nasty corpus: anchor markup leading the text (the
+    exact parity break the escape guard closes), unclosed tags, entity
+    soup, empty text, and ids at 0 / 7 / 2^62-1."""
+    rows = [
+        (0, '<a href="https://evil.example/">boom</a> trailing words'),
+        (7, "<a href=/secX/item-1.html>unquoted"),
+        (8, ""),
+        (13, '"></p><a href="//cdn9.example.net/z"> after-close'),
+        (2**62 - 1, "plain words here"),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    _compare_docs_entries(spark, pdf, LINK_FUZZ_QUERIES)
