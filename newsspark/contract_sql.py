@@ -1121,20 +1121,24 @@ WITH base AS (
          CAST(240 + (doc_id % 11) * 16 AS INTEGER) AS h,
          CAST(24 + (doc_id % 17) * 2 AS INTEGER) AS wp,
          CAST(16 + (doc_id % 11) * 2 AS INTEGER) AS hp,
+         CAST(20 + (doc_id % 17) * 2 AS INTEGER) AS wg,
+         CAST(14 + (doc_id % 11) * 2 AS INTEGER) AS hg,
          CAST(24 * (1 + doc_id % 8) AS INTEGER) AS nf,
          doc_id % 256 AS s
   FROM documents),
 ppm AS (
-  SELECT i, wp * hp * 3 AS n, s FROM base)
+  SELECT i, wp * hp * 3 AS n, wg * hg AS ng, s FROM base)
 SELECT b.i AS media_id, kind,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN wp
+            WHEN kind = 'image' AND sel = 8 THEN wg
             WHEN kind = 'image' THEN w
             WHEN kind = 'video' AND v5 = 2 THEN 640
             WHEN kind = 'video' THEN 160
             END AS width,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN hp
+            WHEN kind = 'image' AND sel = 8 THEN hg
             WHEN kind = 'image' THEN h
             WHEN kind = 'video' AND v5 = 2 THEN 360
             WHEN kind = 'video' THEN 120
@@ -1146,9 +1150,16 @@ SELECT b.i AS media_id, kind,
        -- nf = 24*(1+i%8) -> exactly 1000*(1+i%8) ms)
        CASE WHEN kind = 'video' AND v5 = 2 AND NOT trunc
             THEN CAST((nf * 1000) // 24 AS INTEGER) END AS duration_ms,
+       -- PPM rows decode the raw RGB gradient plane (n = w*h*3 bytes);
+       -- GIF rows LZW-decode the INDEX gradient (ng = w*h indices) whose
+       -- grayscale palette (k,k,k) makes the RGB mean equal the index
+       -- mean — same cycle-sum closed form, one exact double division
        CASE WHEN kind = 'image' AND sel = 0 AND NOT trunc THEN
          CAST(({_PPM_CUMSUM.format(t="p.s + p.n")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.n
+         WHEN kind = 'image' AND sel = 8 AND NOT trunc THEN
+         CAST(({_PPM_CUMSUM.format(t="p.s + p.ng")})
+              - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.ng
          END AS mean_pixel,
        -- WAV rows (a8==1): 2003 gradient int16 samples ((k+s)%256 - 128);
        -- 2003 is prime so the mean never collapses to the 256-cycle

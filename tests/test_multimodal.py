@@ -39,12 +39,16 @@ def test_decode_parses_fake_containers(spark, media):
     auds = [r for r in out.values() if r["kind"] == "audio" and r["error"] is None]
     vids = [r for r in out.values() if r["kind"] == "video" and r["error"] is None]
     assert imgs and auds and vids
-    # sel==0 images are small fully-decoded PPMs; the rest keep big dims
+    # sel==0 (PPM) and sel==8 (LZW GIF) are small FULLY-decoded images
+    # with real pixel means; the rest keep big dims and stubbed pixels
     ppms = [r for r in imgs if r["media_id"] % 9 == 0]
-    rest = [r for r in imgs if r["media_id"] % 9 != 0]
-    assert ppms and rest
+    gifs = [r for r in imgs if r["media_id"] % 9 == 8]
+    rest = [r for r in imgs if r["media_id"] % 9 not in (0, 8)]
+    assert ppms and gifs and rest
     assert all(24 <= r["width"] <= 56 and 16 <= r["height"] <= 36
                and r["mean_pixel"] is not None for r in ppms)
+    assert all(20 <= r["width"] <= 52 and 14 <= r["height"] <= 34
+               and r["mean_pixel"] is not None for r in gifs)
     assert all(r["width"] >= 320 and r["height"] >= 240
                and r["mean_pixel"] is None for r in rest)
     assert all(r["sample_rate"] == 16000 for r in auds)
@@ -346,3 +350,71 @@ def test_frame_sample_zero_duration_mp4_yields_error_row(spark):
     assert zero[0]["ts_ms"] is None and zero[0]["frame_idx"] is None
     ok = [r for r in out if r["media_id"] == 2]
     assert len(ok) == 2 and all(r["error"] is None for r in ok)
+
+
+def test_gif_lzw_codec_is_real():
+    """From-scratch GIF LZW both directions: round-trip across dictionary-
+    heavy, random, and constant streams (constant runs exercise the KwKwK
+    just-assigned-code case and width growth to 12 bits); the full-file
+    decode recovers the exact gradient pixels with the closed-form mean;
+    corrupt streams raise (routed to the error column by callers)."""
+    import numpy as np
+
+    from newsspark.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _gif_pixels,
+        make_real_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    for data in [
+        bytes(((np.arange(5000) + 13) % 256).astype(np.uint8)),
+        rng.integers(0, 256, 9000, dtype=np.uint8).tobytes(),
+        b"\x00" * 7000,          # max dictionary growth + KwKwK
+        bytes(range(256)) * 20,
+        b"a",
+        b"",
+    ]:
+        assert _gif_lzw_decode(8, _gif_lzw_encode(data)) == data
+
+    seed, w, h = 107, 52, 34
+    px = _gif_pixels(make_real_gif(seed, w, h))
+    assert px.shape == (h, w, 3)
+    n = w * h
+
+    def cum(t):
+        return (t // 256) * 32640 + (t % 256) * ((t % 256) - 1) // 2
+
+    s = seed % 256
+    assert float(px.mean()) == (cum(s + n) - cum(s)) / n
+
+    # corrupt LZW stream and truncated file both raise, never hang
+    with pytest.raises(ValueError):
+        _gif_lzw_decode(8, b"\xff\xff\xff\xff")
+    with pytest.raises(ValueError):
+        _gif_pixels(make_real_gif(1, 10, 10)[:40])
+
+
+def test_gif_embed_uses_pixels(spark):
+    """GIF embeddings must run over the DECODED palette-mapped pixels:
+    two gifs with identical pixel content but different container byte
+    layout (extension block injected) embed identically."""
+    import numpy as np
+
+    from newsspark.multimodal import make_real_gif
+
+    base = make_real_gif(5, 30, 20)
+    # splice a no-op comment extension between the color table and the
+    # image descriptor: container bytes differ, pixels identical
+    cut = 13 + 768  # header + screen descriptor + 256-entry GCT
+    spliced = base[:cut] + b"\x21\xfe\x03abc\x00" + base[cut:]
+    assert spliced != base
+    media = spark.createDataFrame(
+        [(1, 1, "image", base, 30, 20, 0),
+         (2, 2, "image", spliced, 30, 20, 0)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in embed_media(media).collect()}
+    assert rows[1]["error"] is None and rows[2]["error"] is None
+    assert np.allclose(rows[1]["embedding"], rows[2]["embedding"], atol=0)
