@@ -197,10 +197,19 @@ def main() -> None:
               lambda: textops.dedup_simhash_pairs(docs))
         timed("extract_links", lambda: extract_links_table(
             synth_link_pages(docs, num_partitions=CPUS)))
-        from newsspark.linkops import robots_filter, robots_rules_df
+        from newsspark.linkops import (
+            crawl_frontier_gated,
+            extract_links_core,
+            robots_filter,
+            robots_rules_df,
+        )
 
+        # composed over the UNSORTED links core (the r5 composition form)
         timed("robots_filter", lambda: robots_filter(
-            extract_links_table(synth_link_pages(docs, num_partitions=CPUS)),
+            extract_links_core(synth_link_pages(docs, num_partitions=CPUS)),
+            robots_rules_df(spark)))
+        timed("crawl_frontier_gated", lambda: crawl_frontier_gated(
+            extract_links_core(synth_link_pages(docs, num_partitions=CPUS)),
             robots_rules_df(spark)))
 
         import __spark_entry__ as entrymod
@@ -227,7 +236,7 @@ def main() -> None:
         excluded = {"extract_cascade_w8", "dedup_lines", "pdf_extract",
                     "dedup_minhash_lsh_unguarded", "dedup_pipeline_unguarded",
                     "pack_sequences", "dedup_simhash_pairs", "extract_links",
-                    "robots_filter"}
+                    "robots_filter", "crawl_frontier_gated"}
         total = round(
             sum(v for k, v in timings.items() if k not in excluded), 3
         )
