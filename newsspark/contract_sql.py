@@ -1123,14 +1123,18 @@ WITH base AS (
          CAST(16 + (doc_id % 11) * 2 AS INTEGER) AS hp,
          CAST(20 + (doc_id % 17) * 2 AS INTEGER) AS wg,
          CAST(14 + (doc_id % 11) * 2 AS INTEGER) AS hg,
+         CAST(22 + (doc_id % 17) * 2 AS INTEGER) AS wq,
+         CAST(15 + (doc_id % 11) * 2 AS INTEGER) AS hq,
          CAST(24 * (1 + doc_id % 8) AS INTEGER) AS nf,
          doc_id % 256 AS s
   FROM documents),
 ppm AS (
-  SELECT i, wp * hp * 3 AS n, wg * hg AS ng, s FROM base)
+  SELECT i, wp * hp * 3 AS n, wg * hg AS ng, wq * hq * 3 AS nq, s
+  FROM base)
 SELECT b.i AS media_id, kind,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN wp
+            WHEN kind = 'image' AND sel = 5 THEN wq
             WHEN kind = 'image' AND sel = 8 THEN wg
             WHEN kind = 'image' THEN w
             WHEN kind = 'video' AND v5 = 2 THEN 640
@@ -1138,6 +1142,7 @@ SELECT b.i AS media_id, kind,
             END AS width,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN hp
+            WHEN kind = 'image' AND sel = 5 THEN hq
             WHEN kind = 'image' AND sel = 8 THEN hg
             WHEN kind = 'image' THEN h
             WHEN kind = 'video' AND v5 = 2 THEN 360
@@ -1151,12 +1156,16 @@ SELECT b.i AS media_id, kind,
        CASE WHEN kind = 'video' AND v5 = 2 AND NOT trunc
             THEN CAST((nf * 1000) // 24 AS INTEGER) END AS duration_ms,
        -- PPM rows decode the raw RGB gradient plane (n = w*h*3 bytes);
+       -- PNG rows inflate+unfilter the SAME RGB gradient (nq = w*h*3);
        -- GIF rows LZW-decode the INDEX gradient (ng = w*h indices) whose
        -- grayscale palette (k,k,k) makes the RGB mean equal the index
        -- mean — same cycle-sum closed form, one exact double division
        CASE WHEN kind = 'image' AND sel = 0 AND NOT trunc THEN
          CAST(({_PPM_CUMSUM.format(t="p.s + p.n")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.n
+         WHEN kind = 'image' AND sel = 5 AND NOT trunc THEN
+         CAST(({_PPM_CUMSUM.format(t="p.s + p.nq")})
+              - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.nq
          WHEN kind = 'image' AND sel = 8 AND NOT trunc THEN
          CAST(({_PPM_CUMSUM.format(t="p.s + p.ng")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.ng

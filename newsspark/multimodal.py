@@ -114,12 +114,70 @@ def make_real_jpeg(seed: int, width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload)) + ctype + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_rows(pixels, bpp: int = 3):
+    """Apply PNG scanline filters, CYCLING the filter type by row
+    (None/Sub/Up/Average/Paeth) so the decoder's unfilter path is
+    genuinely exercised on every image, not just filter-0."""
+    h = pixels.shape[0]
+    out = bytearray()
+    prior = np.zeros(pixels.shape[1] * bpp, dtype=np.int64)
+    for y in range(h):
+        raw = pixels[y].reshape(-1).astype(np.int64)
+        ft = y % 5
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+            filt = raw - left
+        elif ft == 2:  # Up
+            filt = raw - prior
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+            filt = raw - (left + prior) // 2
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = raw - pred
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prior = raw
+    return bytes(out)
+
+
 def make_real_png(seed: int, width: int, height: int) -> bytes:
+    """Complete real PNG the stdlib can FULLY decode — IHDR (8-bit
+    truecolor), zlib-compressed IDAT with per-row scanline filters
+    cycling through all five PNG filter types, real CRC32s, IEND.
+    Pixels are the gradient ``(i + seed) % 256`` over the row-major RGB
+    byte index (the PPM formula), so the decoded mean_pixel keeps the
+    same closed-form cycle sum the media_decode oracle replays."""
+    import zlib
+
+    n = width * height * 3
+    pixels = ((np.arange(n, dtype=np.int64) + seed) % 256).astype(
+        np.uint8
+    ).reshape(height, width, 3)
     ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    idat = zlib.compress(_png_filter_rows(pixels), 6)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
-        + _lcg_bytes(seed, 64)
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -393,6 +451,7 @@ def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
                         elif sel == 2:
                             payload = make_real_jpeg(i, w, h)
                         elif sel == 5:
+                            w, h = 22 + (i % 17) * 2, 15 + (i % 11) * 2
                             payload = make_real_png(i, w, h)
                         elif sel == 8:
                             w, h = 20 + (i % 17) * 2, 14 + (i % 11) * 2
@@ -486,6 +545,82 @@ def _ppm_pixels(payload: bytes):
     return np.frombuffer(payload, dtype=np.uint8, count=n, offset=off).reshape(
         h, w, 3
     )
+
+
+def _png_pixels(payload: bytes):
+    """REAL PNG decode: chunk walk with length validation, IDAT
+    concatenation, zlib inflate, and full scanline UNFILTERING (all five
+    filter types: None/Sub/Up/Average/Paeth) to an (h, w, 3) uint8 pixel
+    plane.  Returns None for a header-only png (no IDAT — dims still
+    real); raises ValueError on malformed payloads.  8-bit truecolor
+    (the generated profile) only; other bit-depth/color-type combos
+    raise NotImplementedError into the error column."""
+    import zlib
+
+    if len(payload) < 33 or payload[12:16] != b"IHDR":
+        raise ValueError("png: first chunk is not IHDR")
+    w, h = struct.unpack(">II", payload[16:24])
+    depth, ctype = payload[24], payload[25]
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[pos : pos + 4])[0]
+        cname = payload[pos + 4 : pos + 8]
+        if pos + 8 + ln + 4 > len(payload):
+            raise ValueError(f"png: truncated {cname!r} chunk")
+        if cname == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        if cname == b"IEND":
+            break
+        pos += 12 + ln
+    if not idat:
+        return None
+    if (depth, ctype) != (8, 2):
+        raise NotImplementedError(
+            f"png: only 8-bit truecolor decoded (depth={depth}, "
+            f"color type={ctype})"
+        )
+    bpp, stride = 3, w * 3
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png: bad IDAT stream: {exc}")
+    if len(raw) < h * (1 + stride):
+        raise ValueError("png: inflated data shorter than image")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prior) % 256
+        elif ft == 1:  # Sub: a per-channel prefix sum (vectorized)
+            rec = (line.reshape(-1, bpp).cumsum(axis=0) % 256).reshape(-1)
+        elif ft in (3, 4):  # Average / Paeth: inherently left-sequential
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter type {ft} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out.reshape(h, w, 3)
 
 
 def _gif_pixels(payload: bytes):
@@ -586,7 +721,11 @@ def _parse_real_header(fmt: str, payload: bytes) -> dict:
         if payload[12:16] != b"IHDR":
             raise ValueError("png: first chunk is not IHDR")
         w, h = struct.unpack(">II", payload[16:24])
-        return {"width": w, "height": h}
+        out = {"width": w, "height": h}
+        px = _png_pixels(payload)  # FULL inflate+unfilter — not a stub
+        if px is not None:
+            out["mean_pixel"] = float(px.mean())
+        return out
     if fmt == "gif":
         px = _gif_pixels(payload)  # FULL LZW pixel decode — not a stub
         w, h = struct.unpack("<HH", payload[6:10])
@@ -806,6 +945,16 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                     except (ValueError, struct.error) as exc:
                         vecs.append(None)
                         errs.append(f"gif: {exc}")
+                        continue
+                elif raw[:4] == b"\x89PNG":
+                    try:
+                        px = _png_pixels(raw)
+                        if px is None:
+                            raise ValueError("no image data")
+                        arr = px.reshape(-1)
+                    except (ValueError, NotImplementedError) as exc:
+                        vecs.append(None)
+                        errs.append(f"png: {exc}")
                         continue
                 elif raw[:4] == b"RIFF":
                     try:
