@@ -1125,11 +1125,15 @@ WITH base AS (
          CAST(14 + (doc_id % 11) * 2 AS INTEGER) AS hg,
          CAST(22 + (doc_id % 17) * 2 AS INTEGER) AS wq,
          CAST(15 + (doc_id % 11) * 2 AS INTEGER) AS hq,
+         CAST(18 + (doc_id % 17) * 2 AS INTEGER) AS wv,
+         CAST(13 + (doc_id % 11) * 2 AS INTEGER) AS hv,
+         CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS nfg,
          CAST(24 * (1 + doc_id % 8) AS INTEGER) AS nf,
          doc_id % 256 AS s
   FROM documents),
 ppm AS (
-  SELECT i, wp * hp * 3 AS n, wg * hg AS ng, wq * hq * 3 AS nq, s
+  SELECT i, wp * hp * 3 AS n, wg * hg AS ng, wq * hq * 3 AS nq,
+         wv * hv AS nv, s
   FROM base)
 SELECT b.i AS media_id, kind,
        CASE WHEN trunc THEN NULL
@@ -1138,6 +1142,7 @@ SELECT b.i AS media_id, kind,
             WHEN kind = 'image' AND sel = 8 THEN wg
             WHEN kind = 'image' THEN w
             WHEN kind = 'video' AND v5 = 2 THEN 640
+            WHEN kind = 'video' AND v5 = 4 THEN wv
             WHEN kind = 'video' THEN 160
             END AS width,
        CASE WHEN trunc THEN NULL
@@ -1146,15 +1151,22 @@ SELECT b.i AS media_id, kind,
             WHEN kind = 'image' AND sel = 8 THEN hg
             WHEN kind = 'image' THEN h
             WHEN kind = 'video' AND v5 = 2 THEN 360
+            WHEN kind = 'video' AND v5 = 4 THEN hv
             WHEN kind = 'video' THEN 120
             END AS height,
        CASE WHEN kind = 'audio' AND NOT trunc THEN 16000 END AS sample_rate,
-       CASE WHEN kind = 'video' AND v5 <> 2 AND NOT trunc THEN nf
+       -- FVID fakes carry declared counts; animated gifs (v5=4) the REAL
+       -- demuxed frame count nfg = 4 + 2*(i%3)
+       CASE WHEN kind = 'video' AND v5 NOT IN (2, 4) AND NOT trunc THEN nf
+            WHEN kind = 'video' AND v5 = 4 AND NOT trunc THEN nfg
             END AS n_frames,
        -- REAL mp4 rows: mvhd duration replayed (timescale 1000, fps 24,
-       -- nf = 24*(1+i%8) -> exactly 1000*(1+i%8) ms)
+       -- nf = 24*(1+i%8) -> exactly 1000*(1+i%8) ms); animated gifs: the
+       -- sum of their 250ms GCE delays
        CASE WHEN kind = 'video' AND v5 = 2 AND NOT trunc
-            THEN CAST((nf * 1000) // 24 AS INTEGER) END AS duration_ms,
+            THEN CAST((nf * 1000) // 24 AS INTEGER)
+            WHEN kind = 'video' AND v5 = 4 AND NOT trunc
+            THEN CAST(nfg * 250 AS INTEGER) END AS duration_ms,
        -- PPM rows decode the raw RGB gradient plane (n = w*h*3 bytes);
        -- PNG rows inflate+unfilter the SAME RGB gradient (nq = w*h*3);
        -- GIF rows LZW-decode the INDEX gradient (ng = w*h indices) whose
@@ -1169,6 +1181,10 @@ SELECT b.i AS media_id, kind,
          WHEN kind = 'image' AND sel = 8 AND NOT trunc THEN
          CAST(({_PPM_CUMSUM.format(t="p.s + p.ng")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.ng
+         -- animated-gif videos: FIRST decoded frame's index gradient
+         WHEN kind = 'video' AND v5 = 4 AND NOT trunc THEN
+         CAST(({_PPM_CUMSUM.format(t="p.s + p.nv")})
+              - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.nv
          END AS mean_pixel,
        -- WAV rows (a8==1): 2003 gradient int16 samples ((k+s)%256 - 128);
        -- 2003 is prime so the mean never collapses to the 256-cycle
@@ -1194,12 +1210,16 @@ ORDER BY media_id
 # frame sampling: FVID fakes sample frame INDICES (step = fps at
 # every_ms=1000); real mp4 rows sample TIMESTAMPS over the box-walk
 # duration (frame_idx NULL — no sample table is demuxed; a seek-based
-# extractor works in time).  No video row is ever truncated (i%50==7 is
-# odd, video ids are even), so no error branch exists in the case table.
+# extractor works in time); animated-gif rows (v5=4) sample the REAL
+# demuxed frames — the first frame at or after each 1000ms grid point,
+# which with uniform 250ms GCE delays is every 4th index at its true
+# display time f*250.  No video row is ever truncated (i%50==7 is odd,
+# video ids are even), so no error branch exists in the case table.
 DUCK_SQL["media_frame_sample"] = """
 WITH vids AS (
   SELECT doc_id AS i, doc_id % 5 AS v5,
-         24 * (1 + doc_id % 8) AS nf
+         24 * (1 + doc_id % 8) AS nf,
+         4 + 2 * (doc_id % 3) AS nfg
   FROM documents WHERE doc_id % 4 = 2)
 SELECT i AS media_id, CAST(NULL AS INTEGER) AS frame_idx,
        CAST(ts AS INTEGER) AS ts_ms,
@@ -1208,10 +1228,16 @@ FROM vids, unnest(range(0, (nf * 1000) // 24, 1000)) AS t(ts)
 WHERE v5 = 2
 UNION ALL
 SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 250 AS INTEGER) AS ts_ms,
+       CAST(NULL AS VARCHAR) AS error
+FROM vids, unnest(range(0, nfg, 4)) AS t(f)
+WHERE v5 = 4
+UNION ALL
+SELECT i AS media_id, CAST(f AS INTEGER) AS frame_idx,
        CAST((f * 1000) // 24 AS INTEGER) AS ts_ms,
        CAST(NULL AS VARCHAR) AS error
 FROM vids, unnest(range(0, nf, 24)) AS t(f)
-WHERE v5 <> 2
+WHERE v5 NOT IN (2, 4)
 ORDER BY media_id, frame_idx, ts_ms
 """
 

@@ -290,29 +290,49 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytes:
         prev = entry
 
 
-def make_real_gif(seed: int, width: int, height: int) -> bytes:
+def make_real_gif(
+    seed: int, width: int, height: int,
+    n_frames: int = 1, delay_ms: int = 250,
+) -> bytes:
     """Complete real GIF89a the stdlib can FULLY decode — logical screen
     descriptor, 256-entry grayscale global color table (palette[k] =
-    (k,k,k)), image descriptor, and a REAL LZW-compressed pixel stream.
-    Pixel index at position k is the gradient ``(k + seed) % 256`` (the
-    PPM/WAV pattern), so the decoded mean_pixel has the same closed-form
-    cycle sum the media_decode oracle replays exactly."""
+    (k,k,k)), image descriptor(s), and REAL LZW-compressed pixel
+    streams.  Frame f's pixel index at position k is the gradient
+    ``(k + seed + f) % 256`` (the PPM/WAV pattern), so every decoded
+    frame mean has the same closed-form cycle sum the media_decode
+    oracle replays exactly.  With ``n_frames > 1`` each frame carries a
+    Graphic Control Extension with ``delay_ms`` — an ANIMATED gif, the
+    one video-like format fully decodable from the stdlib; single-frame
+    output stays byte-identical to the pre-animation format (no GCE)."""
     n = width * height
-    indices = ((np.arange(n, dtype=np.int64) + seed) % 256).astype(
-        np.uint8
-    ).tobytes()
     gct = bytes(v for k in range(256) for v in (k, k, k))
     # packed 0xF7: GCT present, 8-bit color resolution, 256-entry table
     lsd = struct.pack("<HH", width, height) + b"\xf7\x00\x00"
-    imgdesc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    lzw = _gif_lzw_encode(indices)
-    blocks = b"".join(
-        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
-        for i in range(0, len(lzw), 255)
-    )
-    return (
-        b"GIF89a" + lsd + gct + imgdesc + bytes([8]) + blocks + b"\x00\x3b"
-    )
+    parts = [b"GIF89a", lsd, gct]
+    for f in range(n_frames):
+        if n_frames > 1:
+            parts.append(
+                b"\x21\xf9\x04\x00"
+                + struct.pack("<H", delay_ms // 10)
+                + b"\x00\x00"
+            )
+        parts.append(
+            b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        )
+        indices = ((np.arange(n, dtype=np.int64) + seed + f) % 256).astype(
+            np.uint8
+        ).tobytes()
+        lzw = _gif_lzw_encode(indices)
+        parts.append(bytes([8]))
+        parts.append(
+            b"".join(
+                bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+                for i in range(0, len(lzw), 255)
+            )
+        )
+        parts.append(b"\x00")
+    parts.append(b"\x3b")
+    return b"".join(parts)
 
 
 def _mp4_box(btype: bytes, payload: bytes) -> bytes:
@@ -469,15 +489,27 @@ def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
                         meta = (0, 0, ns // (sr // 1000))
                     else:
                         w, h, nf, fps = 160, 120, 24 * (1 + i % 8), 24
-                        # every fifth video is a REAL mp4 container: the
-                        # box-walk demux recovers mvhd duration + tkhd
-                        # dims; frame DATA stays behind the codec boundary
-                        payload = (
-                            make_real_mp4(i, 640, 360, nf * 1000 // fps)
-                            if i % 5 == 2
-                            else make_video(i, w, h, nf, fps)
-                        )
-                        meta = (w, h, nf * 1000 // fps)
+                        # real-format planting: i%5==2 is a REAL mp4
+                        # (box-walk demux: mvhd duration + tkhd dims;
+                        # frame DATA behind the codec boundary) and
+                        # i%5==4 a REAL ANIMATED GIF — multiple LZW
+                        # frames + GCE delays, FULLY decodable: the one
+                        # video-like format with real frame payloads
+                        if i % 5 == 2:
+                            payload = make_real_mp4(
+                                i, 640, 360, nf * 1000 // fps
+                            )
+                            meta = (w, h, nf * 1000 // fps)
+                        elif i % 5 == 4:
+                            w, h = 18 + (i % 17) * 2, 13 + (i % 11) * 2
+                            nfg = 4 + 2 * (i % 3)
+                            payload = make_real_gif(
+                                i, w, h, n_frames=nfg, delay_ms=250
+                            )
+                            meta = (w, h, nfg * 250)
+                        else:
+                            payload = make_video(i, w, h, nf, fps)
+                            meta = (w, h, nf * 1000 // fps)
                     # ~2% corrupt rows exercise the error column
                     if i % 50 == 7:
                         payload = payload[:6]
@@ -623,14 +655,15 @@ def _png_pixels(payload: bytes):
     return out.reshape(h, w, 3)
 
 
-def _gif_pixels(payload: bytes):
-    """REAL GIF decode: screen-descriptor parse, color-table read,
-    extension-block walk, and full LZW decompression of the first image's
-    index stream, palette-mapped to an (ih, iw, 3) uint8 pixel plane.
-    Returns None for a header-only gif (dims real, no image data);
-    raises ValueError/struct.error on malformed payloads (routed to the
-    error column by callers).  Interlaced images are the one unhandled
-    layout (deterministically detectable, never generated here)."""
+def _gif_frames(payload: bytes) -> list:
+    """REAL animated-GIF demux+decode: screen-descriptor parse,
+    color-table read, Graphic-Control-Extension delays, and full LZW
+    decompression of EVERY image's index stream, palette-mapped to
+    (ih, iw, 3) uint8 pixel planes.  Returns ``[(delay_ms, pixels),
+    ...]`` in stream order (empty for a header-only gif); raises
+    ValueError/struct.error on malformed payloads (routed to the error
+    column by callers).  Interlaced images are the one unhandled layout
+    (deterministically detectable, never generated here)."""
     struct.unpack("<HH", payload[6:10])  # validates the screen descriptor
     packed = payload[10]  # flags; payload[11:13] = bg color, aspect ratio
     pos = 13
@@ -641,12 +674,20 @@ def _gif_pixels(payload: bytes):
         if len(gct) < 3 * ncol:
             raise ValueError("gif: truncated global color table")
         pos += 3 * ncol
+    frames: list = []
+    delay_ms = 0
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
-            return None
+            return frames
         if block == 0x21:  # extension: label byte + sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 3:
+                # Graphic Control Extension: packed, delay (1/100 s), idx
+                delay_ms = (
+                    struct.unpack("<H", payload[pos + 2 : pos + 4])[0] * 10
+                )
             while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
@@ -672,12 +713,21 @@ def _gif_pixels(payload: bytes):
             ln = payload[pos]
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        pos += 1  # sub-block terminator
         idx = np.frombuffer(_gif_lzw_decode(mcs, bytes(data)), dtype=np.uint8)
         if len(idx) < iw * ih:
             raise ValueError("gif: truncated pixel data")
         palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
-        return palette[idx[: iw * ih]].reshape(ih, iw, 3)
-    raise ValueError("gif: no image descriptor before end of payload")
+        frames.append((delay_ms, palette[idx[: iw * ih]].reshape(ih, iw, 3)))
+        delay_ms = 0
+    raise ValueError("gif: no trailer before end of payload")
+
+
+def _gif_pixels(payload: bytes):
+    """First decoded frame of a GIF (the still-image view), or None for
+    a header-only payload."""
+    frames = _gif_frames(payload)
+    return frames[0][1] if frames else None
 
 
 def _detect_real_format(payload: bytes):
@@ -727,11 +777,14 @@ def _parse_real_header(fmt: str, payload: bytes) -> dict:
             out["mean_pixel"] = float(px.mean())
         return out
     if fmt == "gif":
-        px = _gif_pixels(payload)  # FULL LZW pixel decode — not a stub
+        frames = _gif_frames(payload)  # FULL LZW pixel decode — not a stub
         w, h = struct.unpack("<HH", payload[6:10])
         out = {"width": w, "height": h}
-        if px is not None:
-            out["mean_pixel"] = float(px.mean())
+        if frames:
+            out["mean_pixel"] = float(frames[0][1].mean())
+        if len(frames) > 1:  # animated: real demuxed count + GCE delays
+            out["n_frames"] = len(frames)
+            out["duration_ms"] = sum(d for d, _ in frames)
         return out
     if fmt == "ppm":
         px = _ppm_pixels(payload)  # FULL pixel decode — not a stub
@@ -879,6 +932,26 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     step = max(1, round(fps * every_ms / 1000))
                     for idx in range(0, nf, step):
                         rows.append((media_id, idx, idx * 1000 // fps, None))
+                elif raw[:4] == b"GIF8":
+                    # REAL demux: every frame's pixels + GCE delay are
+                    # decoded; emit the first frame at or after each
+                    # every_ms grid point with its TRUE display time
+                    try:
+                        frames = _gif_frames(raw)
+                    except (ValueError, struct.error) as exc:
+                        rows.append((media_id, None, None, f"gif: {exc}"))
+                        continue
+                    if len(frames) <= 1:
+                        rows.append(
+                            (media_id, None, None, "gif: not animated")
+                        )
+                        continue
+                    t_acc, next_t = 0, 0
+                    for fi, (delay, _px) in enumerate(frames):
+                        if t_acc >= next_t:
+                            rows.append((media_id, fi, t_acc, None))
+                            next_t = (t_acc // every_ms + 1) * every_ms
+                        t_acc += delay
                 elif raw[4:8] == b"ftyp":
                     # real mp4: no sample table demuxed, but the box walk
                     # gives the duration — TIME-based sampling (frame_idx

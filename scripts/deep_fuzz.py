@@ -64,6 +64,16 @@ def main() -> None:
     print(f"hash suite: {n_emb} examples x {len(fuzz.HASH_FUZZ_QUERIES)} queries")
     run_hash()
     print("hash suite: OK")
+
+    @settings(max_examples=n_emb, deadline=None, database=None,
+              suppress_health_check=list(HealthCheck))
+    @given(pdf=fuzz._link_corpus())
+    def run_links(pdf):
+        fuzz._compare_docs_entries(spark, pdf, fuzz.LINK_FUZZ_QUERIES)
+
+    print(f"link suite: {n_emb} examples x {len(fuzz.LINK_FUZZ_QUERIES)} queries")
+    run_links()
+    print("link suite: OK")
     spark.stop()
 
 

@@ -464,3 +464,40 @@ def test_png_inflate_unfilter_is_real():
     bad[29:33] = _s.pack(">I", crc)
     with pytest.raises(NotImplementedError):
         _png_pixels(bytes(bad))
+
+
+def test_animated_gif_demux_and_frame_sample(spark):
+    """Animated GIF is the one video-like format with REAL decoded frame
+    payloads: the demux recovers every frame's pixels + GCE delay;
+    decode reports the true frame count and duration; frame_sample
+    emits the first frame at or after each grid point with its true
+    display time."""
+    import numpy as np
+
+    from newsspark.multimodal import _gif_frames, make_real_gif
+
+    g = make_real_gif(14, 20, 15, n_frames=8, delay_ms=250)
+    frames = _gif_frames(g)
+    assert len(frames) == 8 and all(d == 250 for d, _ in frames)
+    n = 20 * 15
+    for f, (_d, px) in enumerate(frames):
+        want = ((np.arange(n, dtype=np.int64) + 14 + f) % 256).astype(
+            np.uint8
+        )
+        assert np.array_equal(px.reshape(-1)[::3], want)
+
+    d = _decode_one(g)
+    assert (d["n_frames"], d["duration_ms"], d["error"]) == (8, 2000, None)
+
+    media = spark.createDataFrame(
+        [(1, 1, "video", g, 20, 15, 2000),
+         (2, 2, "video", make_real_gif(3, 20, 15), 20, 15, 0)],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample(media).collect()
+    anim = sorted(
+        ((r["frame_idx"], r["ts_ms"]) for r in rows if r["media_id"] == 1)
+    )
+    assert anim == [(0, 0), (4, 1000)]  # true display times, stride 4
+    still = [r for r in rows if r["media_id"] == 2]
+    assert len(still) == 1 and still[0]["error"] == "gif: not animated"
