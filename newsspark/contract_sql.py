@@ -1127,17 +1127,20 @@ WITH base AS (
          CAST(15 + (doc_id % 11) * 2 AS INTEGER) AS hq,
          CAST(18 + (doc_id % 17) * 2 AS INTEGER) AS wv,
          CAST(13 + (doc_id % 11) * 2 AS INTEGER) AS hv,
+         CAST(8 * (3 + doc_id % 5) AS INTEGER) AS wj,
+         CAST(8 * (2 + doc_id % 3) AS INTEGER) AS hj,
          CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS nfg,
          CAST(24 * (1 + doc_id % 8) AS INTEGER) AS nf,
          doc_id % 256 AS s
   FROM documents),
 ppm AS (
   SELECT i, wp * hp * 3 AS n, wg * hg AS ng, wq * hq * 3 AS nq,
-         wv * hv AS nv, s
+         wv * hv AS nv, (wj // 8) * (hj // 8) AS nbj, s
   FROM base)
 SELECT b.i AS media_id, kind,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN wp
+            WHEN kind = 'image' AND sel = 2 THEN wj
             WHEN kind = 'image' AND sel = 5 THEN wq
             WHEN kind = 'image' AND sel = 8 THEN wg
             WHEN kind = 'image' THEN w
@@ -1147,6 +1150,7 @@ SELECT b.i AS media_id, kind,
             END AS width,
        CASE WHEN trunc THEN NULL
             WHEN kind = 'image' AND sel = 0 THEN hp
+            WHEN kind = 'image' AND sel = 2 THEN hj
             WHEN kind = 'image' AND sel = 5 THEN hq
             WHEN kind = 'image' AND sel = 8 THEN hg
             WHEN kind = 'image' THEN h
@@ -1168,6 +1172,9 @@ SELECT b.i AS media_id, kind,
             WHEN kind = 'video' AND v5 = 4 AND NOT trunc
             THEN CAST(nfg * 250 AS INTEGER) END AS duration_ms,
        -- PPM rows decode the raw RGB gradient plane (n = w*h*3 bytes);
+       -- JPEG rows Huffman-decode DC-only blocks whose flat values are
+       -- the gradient over nbj = (w/8)*(h/8) blocks (uniform 64px each,
+       -- so the pixel mean equals the block mean);
        -- PNG rows inflate+unfilter the SAME RGB gradient (nq = w*h*3);
        -- GIF rows LZW-decode the INDEX gradient (ng = w*h indices) whose
        -- grayscale palette (k,k,k) makes the RGB mean equal the index
@@ -1175,6 +1182,9 @@ SELECT b.i AS media_id, kind,
        CASE WHEN kind = 'image' AND sel = 0 AND NOT trunc THEN
          CAST(({_PPM_CUMSUM.format(t="p.s + p.n")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.n
+         WHEN kind = 'image' AND sel = 2 AND NOT trunc THEN
+         CAST(({_PPM_CUMSUM.format(t="p.s + p.nbj")})
+              - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.nbj
          WHEN kind = 'image' AND sel = 5 AND NOT trunc THEN
          CAST(({_PPM_CUMSUM.format(t="p.s + p.nq")})
               - ({_PPM_CUMSUM.format(t="p.s")}) AS DOUBLE) / p.nq

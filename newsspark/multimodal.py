@@ -101,17 +101,122 @@ def make_video(seed: int, width: int, height: int, n_frames: int, fps: int) -> b
     )
 
 
+# JPEG Annex K standard luminance Huffman specs (public spec constants):
+# (bits-per-length counts, symbol values) — real-world tables, so the
+# entropy decoder below reads the same DHT layout any camera JPEG uses.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical JPEG Huffman assignment: (symbol -> (code, length)) and
+    the inverse ((length, code) -> symbol)."""
+    enc, dec = {}, {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            dec[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # entropy-stream byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _jpeg_dht(tclass: int, tid: int, bits, vals) -> bytes:
+    payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
 def make_real_jpeg(seed: int, width: int, height: int) -> bytes:
-    """Minimal real-format JPEG: SOI + APP0/JFIF + SOF0 header carrying the
-    dimensions, then a deterministic byte tail (no scan data — the pixel
-    layer is stubbed; only the header is contractually real)."""
-    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
-    sof0 = (
-        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
-        + struct.pack(">HH", height, width)
-        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    """Complete real baseline JPEG (grayscale) the stdlib can decode
+    EXACTLY: JFIF header, quantization table, the Annex-K standard
+    Huffman tables, SOF0, and a REAL entropy-coded scan — Huffman DC
+    categories + magnitude bits + EOB per block, with 0xFF byte
+    stuffing.  Every 8x8 block carries ONLY a DC coefficient, chosen so
+    block b dequantizes+IDCTs to the flat value ``(b + seed) % 256``:
+    a DC-only block's IDCT is exact integer math (F(0,0)/8 + 128), so
+    the decode has no spec-loose rounding and the pixel mean keeps the
+    gradient closed form over n_blocks.  This is the thumbnail-extractor
+    subset of JPEG; general AC blocks stay behind the codec boundary."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    dc_enc, _ = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev = 0
+    for b in range(bw * bh):
+        # quant step 8 for the DC slot: coeff = value - 128 (see _jpeg_idct)
+        coeff = (b + seed) % 256 - 128
+        diff = coeff - prev
+        prev = coeff
+        cat = diff.bit_length() if diff else 0
+        code, length = dc_enc[cat]
+        w.put(code, length)
+        if cat:
+            w.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        eob, eob_len = ac_enc[0x00]
+        w.put(eob, eob_len)
+    scan = w.flush()
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 72, 72) + b"\x00\x00"
     )
-    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    qtable = bytes([8] + [16] * 63)  # slot 0 step 8; AC steps unused
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtable
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    )
+    dht = _jpeg_dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS) + _jpeg_dht(
+        1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+    )
 
 
 def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -469,6 +574,7 @@ def media_df(spark: SparkSession, sf_dir: str, per_doc: int = 1) -> DataFrame:
                             w, h = 24 + (i % 17) * 2, 16 + (i % 11) * 2
                             payload = make_real_ppm(i, w, h)
                         elif sel == 2:
+                            w, h = 8 * (3 + i % 5), 8 * (2 + i % 3)
                             payload = make_real_jpeg(i, w, h)
                         elif sel == 5:
                             w, h = 22 + (i % 17) * 2, 15 + (i % 11) * 2
@@ -577,6 +683,160 @@ def _ppm_pixels(payload: bytes):
     return np.frombuffer(payload, dtype=np.uint8, count=n, offset=off).reshape(
         h, w, 3
     )
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte unstuffing; raises on restart markers (not generated here) and
+    at end of data."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError("jpeg: restart markers")
+                else:
+                    raise ValueError("jpeg: marker inside entropy data")
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_pixels(payload: bytes):
+    """REAL baseline-JPEG entropy decode: marker walk (DQT/DHT/SOF0/SOS),
+    canonical Huffman table construction, bit-level scan decode (DC
+    categories + sign extension + byte unstuffing, full AC run-length
+    grammar), DC dequantization, and the EXACT flat IDCT of DC-only
+    blocks — the thumbnail-extractor subset.  Returns an (h, w) uint8
+    grayscale plane.  Blocks with nonzero AC coefficients, progressive
+    scans, multi-component scans, and non-8-divisible dequantized DCs
+    raise NotImplementedError (their reconstruction is spec-loose
+    rounding — no exact decode exists); malformed streams raise
+    ValueError.  Callers route both to header-only metadata."""
+    qtables: dict = {}
+    htables: dict = {}
+    w = h = None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"jpeg marker desync at {pos}")
+        marker = payload[pos + 1]
+        seglen = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 15
+                if prec:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                qtables[tid] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 15
+                bits = tuple(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = tuple(seg[i + 17 : i + 17 + nvals])
+                _, dec = _jpeg_huff_codes(bits, vals)
+                htables[(tclass, tid)] = dec
+                i += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            if seg[0] != 8:
+                raise NotImplementedError("jpeg: non-8-bit precision")
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "jpeg: only single-component (grayscale) scans decoded"
+                )
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: SOF{marker - 0xC0} coding process"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("jpeg: restart intervals")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if w is None:
+                raise ValueError("jpeg: SOS before SOF")
+            dc_dec = htables.get((0, seg[2] >> 4))
+            ac_dec = htables.get((1, seg[2] & 15))
+            q = qtables.get(comp_q)
+            if dc_dec is None or ac_dec is None or q is None:
+                raise ValueError("jpeg: scan references missing tables")
+            r = _JpegBitReader(payload, pos + 2 + seglen)
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            vals = np.zeros(bw * bh, dtype=np.int64)
+            pred = 0
+            for b in range(bw * bh):
+                cat = r.huff(dc_dec)
+                diff = 0
+                if cat:
+                    raw_bits = r.bits(cat)
+                    diff = (
+                        raw_bits
+                        if raw_bits >= (1 << (cat - 1))
+                        else raw_bits - (1 << cat) + 1
+                    )
+                pred += diff
+                k = 1
+                while k < 64:  # full AC run-length grammar
+                    sym = r.huff(ac_dec)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    size = sym & 15
+                    k += (sym >> 4) + 1
+                    if size:  # a nonzero AC coefficient: inexact transform
+                        r.bits(size)
+                        raise NotImplementedError(
+                            "jpeg: AC coefficients (inexact IDCT rounding)"
+                        )
+                dq = pred * q[0]
+                if dq % 8:
+                    raise NotImplementedError(
+                        "jpeg: non-integer flat block value"
+                    )
+                vals[b] = dq // 8 + 128
+            px = np.clip(vals, 0, 255).astype(np.uint8)
+            plane = px.reshape(bh, bw)
+            full = np.repeat(np.repeat(plane, 8, axis=0), 8, axis=1)
+            return full[:h, :w]
+        pos += 2 + seglen
+    raise ValueError("jpeg: no scan data found")
 
 
 def _png_pixels(payload: bytes):
@@ -762,7 +1022,18 @@ def _parse_real_header(fmt: str, payload: bytes) -> dict:
             seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
-                return {"width": w, "height": h}
+                out = {"width": w, "height": h}
+                try:
+                    # EXACT decode of the DC-only (thumbnail) subset —
+                    # real Huffman entropy decode; blocks with AC
+                    # coefficients degrade to header-only metadata
+                    # (their IDCT rounding is spec-loose, no exact
+                    # reconstruction exists)
+                    px = _jpeg_pixels(payload)
+                    out["mean_pixel"] = float(px.mean())
+                except NotImplementedError:
+                    pass
+                return out
             if marker == 0xDA:  # start of scan: no SOF seen, give up
                 break
             i += 2 + seglen
@@ -1028,6 +1299,17 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                     except (ValueError, NotImplementedError) as exc:
                         vecs.append(None)
                         errs.append(f"png: {exc}")
+                        continue
+                elif raw[:3] == b"\xff\xd8\xff":
+                    try:
+                        arr = _jpeg_pixels(raw).reshape(-1)
+                    except NotImplementedError:
+                        # general jpegs have no exact decode: embed over
+                        # container bytes like the other stubbed formats
+                        arr = np.frombuffer(raw, dtype=np.uint8)
+                    except ValueError as exc:
+                        vecs.append(None)
+                        errs.append(f"jpeg: {exc}")
                         continue
                 elif raw[:4] == b"RIFF":
                     try:

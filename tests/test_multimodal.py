@@ -39,16 +39,20 @@ def test_decode_parses_fake_containers(spark, media):
     auds = [r for r in out.values() if r["kind"] == "audio" and r["error"] is None]
     vids = [r for r in out.values() if r["kind"] == "video" and r["error"] is None]
     assert imgs and auds and vids
-    # sel==0 (PPM), sel==5 (zlib+unfilter PNG) and sel==8 (LZW GIF) are
-    # small FULLY-decoded images with real pixel means; the rest (fake
-    # containers + jpeg) keep big dims and stubbed pixels
+    # sel==0 (PPM), sel==2 (DC-only JPEG), sel==5 (zlib+unfilter PNG)
+    # and sel==8 (LZW GIF) are small FULLY-decoded images with real
+    # pixel means; the rest (fake FIMG containers) keep big dims and
+    # stubbed pixels
     ppms = [r for r in imgs if r["media_id"] % 9 == 0]
+    jpgs = [r for r in imgs if r["media_id"] % 9 == 2]
     pngs = [r for r in imgs if r["media_id"] % 9 == 5]
     gifs = [r for r in imgs if r["media_id"] % 9 == 8]
-    rest = [r for r in imgs if r["media_id"] % 9 not in (0, 5, 8)]
-    assert ppms and pngs and gifs and rest
+    rest = [r for r in imgs if r["media_id"] % 9 not in (0, 2, 5, 8)]
+    assert ppms and jpgs and pngs and gifs and rest
     assert all(24 <= r["width"] <= 56 and 16 <= r["height"] <= 36
                and r["mean_pixel"] is not None for r in ppms)
+    assert all(24 <= r["width"] <= 56 and 16 <= r["height"] <= 32
+               and r["mean_pixel"] is not None for r in jpgs)
     assert all(22 <= r["width"] <= 54 and 15 <= r["height"] <= 35
                and r["mean_pixel"] is not None for r in pngs)
     assert all(20 <= r["width"] <= 52 and 14 <= r["height"] <= 34
@@ -100,8 +104,8 @@ def test_planted_real_headers_decode_in_media_table(spark, media):
     ]
     assert jpeg_ids, "corpus must plant real-jpeg rows"
     for m in jpeg_ids:
-        assert out[m]["width"] == 320 + (m % 17) * 16
-        assert out[m]["height"] == 240 + (m % 11) * 16
+        assert out[m]["width"] == 8 * (3 + m % 5)
+        assert out[m]["height"] == 8 * (2 + m % 3)
     wav_ids = [
         m for m, r in out.items()
         if r["kind"] == "audio" and m % 8 == 1 and r["error"] is None
@@ -501,3 +505,39 @@ def test_animated_gif_demux_and_frame_sample(spark):
     assert anim == [(0, 0), (4, 1000)]  # true display times, stride 4
     still = [r for r in rows if r["media_id"] == 2]
     assert len(still) == 1 and still[0]["error"] == "gif: not animated"
+
+
+def test_jpeg_dc_only_decode_is_real():
+    """From-scratch baseline-JPEG entropy decode: Annex-K canonical
+    Huffman tables, bit-level DC category + sign extension, byte
+    unstuffing, AC run-length grammar, dequantization, and the EXACT
+    flat IDCT of DC-only blocks.  Blocks with AC energy degrade to
+    header-only metadata (never a wrong pixel); malformed streams
+    raise ValueError."""
+    import numpy as np
+
+    from newsspark.multimodal import _jpeg_pixels, make_real_jpeg
+
+    for seed, w, h in [(7, 24, 16), (200, 56, 32), (0, 8, 8)]:
+        px = _jpeg_pixels(make_real_jpeg(seed, w, h))
+        assert px.shape == (h, w)
+        nb = (w // 8) * (h // 8)
+        want = ((np.arange(nb, dtype=np.int64) + seed) % 256)
+        got = px.reshape(h // 8, 8, w // 8, 8)[:, 0, :, 0].reshape(-1)
+        assert np.array_equal(got, want)
+        assert (px.reshape(h // 8, 8, w // 8, 8).std(axis=(1, 3)) == 0).all()
+
+    def cum(t):
+        return (t // 256) * 32640 + (t % 256) * ((t % 256) - 1) // 2
+
+    seed, w, h = 9, 32, 24
+    nb = (w // 8) * (h // 8)
+    px = _jpeg_pixels(make_real_jpeg(seed, w, h))
+    assert float(px.mean()) == (cum(seed + nb) - cum(seed)) / nb
+
+    # metadata path carries the decoded mean; truncation stays ValueError
+    d = _decode_one(make_real_jpeg(9, 32, 24))
+    assert (d["width"], d["height"], d["error"]) == (32, 24, None)
+    assert d["mean_pixel"] == float(px.mean())
+    with pytest.raises(ValueError):
+        _jpeg_pixels(make_real_jpeg(1, 16, 16)[:40])
