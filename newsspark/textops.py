@@ -502,7 +502,13 @@ def dedup_simhash_pairs(
         )
         bands = counted.where(F.col("n_ids") <= max_bucket).drop("n_ids")
     a, p = bands.alias("a"), bands.alias("p")
-    cand = (
+    # verify BEFORE dedup: the popcount filter is a cheap deterministic
+    # integer op on the join output, so applying it ahead of the
+    # dropDuplicates hash-aggregate shrinks that aggregate from ALL band
+    # collisions to just the qualifying pairs — the 2M-row soak measured
+    # the post-join distinct as the phase's only spilling stage (~34GB,
+    # BENCH/scale10.md); same result set either way
+    verified = (
         a.join(
             p,
             (F.col("a.b") == F.col("p.b"))
@@ -512,18 +518,12 @@ def dedup_simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("p.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("p.simhash").alias("sb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    verified = (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("p.simhash"))
+            ).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     if star is not None:
         verified = verified.unionByName(star)

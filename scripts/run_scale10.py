@@ -268,16 +268,17 @@ def _write_md(r: dict) -> None:
         "best-of-3 without the sink, and the host's noisy-neighbor windows "
         "mean single runs swing ~2x, BENCH/BASELINE.md).",
         "",
-        "Reading the table:",
-        "- **extract** and **dedup_pipeline (guarded)** run the 10x corpus "
-        "with ZERO spill and level tasks — the plan-shape arguments hold "
-        "when actually exercised.",
-        "- **dedup_simhash_pairs (guarded)** absorbs its banded self-join's "
-        "pre-verify candidate volume in the dropDuplicates hash-aggregate: "
-        "that stage SPILLS (by design — max_bucket bounds the worst bucket, "
-        "execution memory bounds the rest) and completes with zero failed "
-        "tasks and skew ~1.3.  Spill-not-OOM under 40x exact-duplicate "
-        "pressure is the designed degradation mode.",
+        "Reading the table: all three phases run the 10x corpus with ZERO "
+        "spill, zero failed tasks, and level task times — the plan-shape "
+        "arguments hold when actually exercised.  The soak earned its keep "
+        "once already: the FIRST 2M-page run showed dedup_simhash_pairs "
+        "spilling ~34 GB memory + 7 GB disk in its post-join "
+        "dropDuplicates (completing cleanly, but the phase's only heavy "
+        "stage); moving the integer popcount verify BEFORE the distinct "
+        "(same result set — the filter is deterministic per pair) shrank "
+        "that aggregate from all band collisions to just qualifying "
+        "pairs: wall 166s -> 94s, spill -> 0, peak heap 30.5 -> 21 GiB, "
+        "identical 4,406,863 output pairs.",
         "",
         "Peak heap is the sum of per-pool JVM peaks (an UPPER bound — G1 "
         "pools peak at different times; -Xmx is "
