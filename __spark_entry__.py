@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _sql("decontaminate"),
         "dedup_lines": _sql("dedup_lines"),
         "intradoc_line_dedup": _sql("intradoc_line_dedup"),
+        "dedup_substring_spans": _sql("dedup_substring_spans"),
         "mixture_weights": _sql("mixture_weights"),
         "unigram_logprob_buckets": _sql("unigram_logprob_buckets"),
         "incremental_new_docs": _sql("incremental_new_docs"),
@@ -642,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate",
         "dedup_lines",
         "intradoc_line_dedup",
+        "dedup_substring_spans",
         "mixture_weights",
         "unigram_logprob_buckets",
         "incremental_new_docs",

@@ -182,6 +182,12 @@ def main() -> None:
 
         lined = docs.selectExpr("doc_id", f"{_LINED_SPARK} AS text")
         timed("dedup_lines", lambda: textops.dedup_lines(lined))
+        # round-5 lane (excluded from the headline total)
+        import __spark_entry__ as _entry
+
+        _entry._views(spark, SF_DIR)
+        timed("dedup_substring_spans",
+              lambda: spark.sql(SPARK_SQL["dedup_substring_spans"]))
         timed(
             "pdf_extract",
             lambda: extract_pdf_table(
@@ -236,7 +242,8 @@ def main() -> None:
         excluded = {"extract_cascade_w8", "dedup_lines", "pdf_extract",
                     "dedup_minhash_lsh_unguarded", "dedup_pipeline_unguarded",
                     "pack_sequences", "dedup_simhash_pairs", "extract_links",
-                    "robots_filter", "crawl_frontier_gated"}
+                    "robots_filter", "crawl_frontier_gated",
+                    "dedup_substring_spans"}
         total = round(
             sum(v for k, v in timings.items() if k not in excluded), 3
         )

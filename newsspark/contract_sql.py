@@ -2595,3 +2595,89 @@ GROUP BY doc_id
 ORDER BY doc_id
 """,
 )
+
+# --- exact substring dedup (ExactSubstr, Lee et al. 2022) --------------------
+# The remaining dedup modality: find every token span that occurs MORE THAN
+# ONCE anywhere in the corpus, at k-gram granularity — the "Deduplicating
+# Training Data Makes Language Models Better" operator, re-expressed
+# relationally instead of via a monolithic suffix array: tokenize ->
+# k-gram hash per position (explode) -> corpus-wide occurrence count ->
+# join the duplicated grams back -> per-doc gaps-and-islands merge of the
+# overlapping [pos, pos+k) windows into maximal removable spans.
+# Scale shape (100 TB): one gram-hash shuffle with map-side partials (the
+# vocab_topk shape at k-gram grain), one shuffle join back on the uniform
+# hash, and a per-doc window bounded by document length — no suffix array,
+# no global sort.  All arithmetic is integer (positions, lag, running sum),
+# so the twin matches bit-for-bit; the md5-prefix gram hash is the
+# engine-portable md5_60.
+_dual(
+    "dedup_substring_spans",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_SPARK} AS tk FROM documents
+  WHERE size({_TOK_SPARK}) >= 8),
+grams AS (
+  SELECT doc_id, pos,
+         CAST(conv(substring(md5(concat_ws(' ', slice(tk, pos + 1, 8))),
+                             1, 15), 16, 10) AS BIGINT) AS gh
+  FROM toks LATERAL VIEW explode(sequence(0, size(tk) - 8)) x AS pos),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup d ON g.gh = d.gh),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_gram_hits
+FROM grp
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+""",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS tk FROM documents
+  WHERE len({_TOK_DUCK}) >= 8),
+grams AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x',
+              substring(md5(array_to_string(
+                  list_slice(tk, pos + 1, pos + 8), ' ')), 1, 15))
+              AS BIGINT) AS gh
+  FROM toks, unnest(range(0, len(tk) - 8 + 1)) AS t(pos)),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup d ON g.gh = d.gh),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_gram_hits
+FROM grp
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+""",
+)

@@ -35,6 +35,7 @@ FUZZ_QUERIES = (
     "mixture_weights",
     "dedup_lines",
     "intradoc_line_dedup",
+    "dedup_substring_spans",
     "stratified_sample",
     "corpus_length_profile",
     "bm25_topk",
