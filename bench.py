@@ -182,12 +182,10 @@ def main() -> None:
 
         lined = docs.selectExpr("doc_id", f"{_LINED_SPARK} AS text")
         timed("dedup_lines", lambda: textops.dedup_lines(lined))
-        # round-5 lane (excluded from the headline total)
-        import __spark_entry__ as _entry
-
-        _entry._views(spark, SF_DIR)
+        # round-5 lane (excluded from the headline total; production
+        # xxhash64 builder — the dedup-lane convention)
         timed("dedup_substring_spans",
-              lambda: spark.sql(SPARK_SQL["dedup_substring_spans"]))
+              lambda: textops.dedup_substring_spans(docs))
         timed(
             "pdf_extract",
             lambda: extract_pdf_table(

@@ -1654,3 +1654,64 @@ def export_shards(
     catalog.write(sharded, table, partition_by=["shard"])
     back = catalog.read(spark, table)
     return shard_manifest_df(back, text_col)
+
+
+SUBSTRING_SPANS_DDL = (
+    "doc_id long, span_start long, span_end long, n_gram_hits long"
+)
+
+
+def dedup_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup (ExactSubstr, Lee et al. 2022) as DataFrame
+    ops: every token span occurring at least ``min_count`` times anywhere
+    in the corpus, at ``k``-gram granularity, merged per document into
+    maximal removable [span_start, span_end) intervals.
+
+    Relational shape instead of the paper's monolithic suffix array:
+    k-gram hash per position (explode) -> corpus-wide occurrence count
+    (one shuffle, map-side partials) -> join duplicated grams back (one
+    hash join on the uniform gram key) -> per-doc gaps-and-islands merge
+    (a window bounded by document length).  ``hash_fn="md5_60"`` replays
+    the SQL twin ("dedup_substring_spans" in contract_sql.py) exactly;
+    ``xxhash64`` is the production default (one JVM intrinsic per gram
+    instead of md5+conv — the dedup-ops convention)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = with_tokens(docs, text_col).select("doc_id", "tokens").where(
+        F.size("tokens") >= k
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("tokens"), F.col("pos") + 1, k))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("tokens") - k)).alias("pos"),
+        "tokens",
+    ).select("doc_id", "pos", _hash_plain(gram, hash_fn).alias("gh"))
+    dup = grams.groupBy("gh").count().where(F.col("count") >= min_count)
+    hits = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + k),
+        1,
+    ).otherwise(0)
+    grp = hits.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w)
+    )
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_gram_hits")
+        .orderBy("doc_id", "span_start")
+    )

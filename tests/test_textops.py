@@ -1000,3 +1000,20 @@ def test_export_shards_roundtrip_reconciles_with_manifest(spark, tmp_path):
     ).toPandas()
     assert m2["n_docs"].sum() == m1["n_docs"].sum()
     assert m2["n_tokens"].sum() == m1["n_tokens"].sum()
+
+
+def test_dedup_substring_spans_builder_equals_twin_and_hash_paths(spark):
+    """The DataFrame builder with hash_fn='md5_60' must return EXACTLY
+    the SQL twin's rows, and the xxhash64 production default must find
+    the same spans (hashes only gate equality, so absent collisions the
+    span sets coincide)."""
+    _views(spark)
+    a = _pdf_sorted(textops.dedup_substring_spans(
+        spark.read.parquet(f"{SF}/documents.parquet"), hash_fn="md5_60"))
+    b = _pdf_sorted(spark.sql(SPARK_SQL["dedup_substring_spans"]))
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist()
+    c = _pdf_sorted(textops.dedup_substring_spans(
+        spark.read.parquet(f"{SF}/documents.parquet")))
+    assert c.values.tolist() == a.values.tolist()
+    assert len(a) > 0  # the corpus plants cross-doc duplicate passages
