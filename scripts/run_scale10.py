@@ -214,6 +214,21 @@ def main() -> None:
             "near_dup_pairs": n_sim,
             **m,
         }
+        _barrier(spark)
+
+        # ---- phase 4: exact substring dedup over the 2M articles --------
+        # the heaviest shuffle of the suite: one (doc_id, pos, gh) row per
+        # token position (~hundreds of millions of grams), counted
+        # corpus-wide, joined back, island-merged per doc
+        t0 = time.time()
+        n_spans = textops.dedup_substring_spans(docs).count()
+        wall = time.time() - t0
+        m, seen = _phase_metrics(spark, seen)
+        phases["dedup_substring_spans"] = {
+            "wall_sec": round(wall, 1),
+            "merged_spans": n_spans,
+            **m,
+        }
 
         result = {
             "pages": n_pages,
@@ -247,9 +262,8 @@ def _write_md(r: dict) -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for name, p in r["phases"].items():
-        rows = p.get("rows") or p.get("verified_pairs") or p.get(
-            "near_dup_pairs"
-        )
+        rows = (p.get("rows") or p.get("verified_pairs")
+                or p.get("near_dup_pairs") or p.get("merged_spans"))
         worst = max(
             (s["max_over_median"] for s in p["worst_task_skew"]),
             default=None,
@@ -279,6 +293,15 @@ def _write_md(r: dict) -> None:
         "that aggregate from all band collisions to just qualifying "
         "pairs: wall 166s -> 94s, spill -> 0, peak heap 30.5 -> 21 GiB, "
         "identical 4,406,863 output pairs.",
+        "",
+        "The substring-dedup phase is the suite's deliberate worst case: "
+        "the 40x page replication makes EVERY 8-gram a corpus duplicate, "
+        "so all ~700M token positions survive the join and each document "
+        "island-merges to one maximal span (rows out ~= one span per "
+        "non-failed doc).  The gram shuffle absorbs that volume as "
+        "bounded execution-memory spill with task skew ~1.0 (the hash "
+        "keys are uniform) and zero failures — the designed degradation "
+        "under total duplication.",
         "",
         "Peak heap is the sum of per-pool JVM peaks (an UPPER bound — G1 "
         "pools peak at different times; -Xmx is "
