@@ -282,9 +282,10 @@ def _write_md(r: dict) -> None:
         "best-of-3 without the sink, and the host's noisy-neighbor windows "
         "mean single runs swing ~2x, BENCH/BASELINE.md).",
         "",
-        "Reading the table: all three phases run the 10x corpus with ZERO "
-        "spill, zero failed tasks, and level task times — the plan-shape "
-        "arguments hold when actually exercised.  The soak earned its keep "
+        "Reading the table: the extract and pairwise-dedup phases run the "
+        "10x corpus with ZERO spill, zero failed tasks, and level task "
+        "times — the plan-shape arguments hold when actually exercised.  "
+        "The soak earned its keep "
         "once already: the FIRST 2M-page run showed dedup_simhash_pairs "
         "spilling ~34 GB memory + 7 GB disk in its post-join "
         "dropDuplicates (completing cleanly, but the phase's only heavy "
