@@ -422,6 +422,21 @@ def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(links, robots_rules_df(spark))
 
 
+def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl stack's final stage: per-host politeness scheduling of
+    the robots-allowed distinct URLs — hash-ordered slots, waves of 2 —
+    via the skew-safe bucket-composed rank (no whole-host window)."""
+    from newsspark.linkops import (
+        crawl_schedule,
+        extract_links_core,
+        robots_rules_df,
+        synth_link_pages,
+    )
+
+    links = extract_links_core(synth_link_pages(_docs(spark, sf_dir)))
+    return crawl_schedule(links, robots_rules_df(spark))
+
+
 def _crawl_frontier_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl stack end to end: robots-gated frontier — per-host stats
     aggregated over ONLY the REP-allowed links (broadcast rules +
@@ -485,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_frontier": _link_frontier,
         "robots_filter": _robots_filter,
         "crawl_frontier_gated": _crawl_frontier_gated,
+        "crawl_schedule": _crawl_schedule,
         "compression_ratio": _compression_ratio,
         "curate_corpus": _curate_corpus,
         # multimodal plumbing (rows-only; codec layer stubbed per README)
@@ -613,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "link_frontier",
         "robots_filter",
         "crawl_frontier_gated",
+        "crawl_schedule",
         "compression_ratio",
         "curate_corpus",
         "media_decode",

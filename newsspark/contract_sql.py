@@ -2001,6 +2001,46 @@ GROUP BY target_host
 ORDER BY target_host
 """
 
+# Politeness scheduling composed over the gated link set: distinct allowed
+# (host, url) pairs ranked per host in md5-hash order (hex-prefix bucket
+# order == md5-string order, so the Spark builder's bucket-composed rank
+# equals this single global per-host rank), then waves of per_host_slots.
+DUCK_SQL["crawl_schedule"] = f"""
+{_LINK_ROWS_DUCK},
+pathed AS (
+  SELECT doc_id, anchor_idx, target_host, href_abs,
+         regexp_replace(href_abs, '^https?://[^/]+', '') AS path
+  FROM links),
+rules(host, prefix, allow) AS (
+  VALUES
+    {_robots_rules_values()}
+),
+matched AS (
+  SELECT p.doc_id, p.anchor_idx, p.target_host, p.href_abs, r.allow,
+         row_number() OVER (
+           PARTITION BY p.doc_id, p.anchor_idx
+           ORDER BY coalesce(length(r.prefix), -1) DESC,
+                    r.allow DESC, r.prefix) AS rn
+  FROM pathed p LEFT JOIN rules r
+    ON p.target_host = r.host AND starts_with(p.path, r.prefix)),
+urls AS (
+  SELECT target_host, href_abs AS url,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ref_docs
+  FROM matched WHERE rn = 1 AND coalesce(allow, TRUE)
+  GROUP BY target_host, href_abs),
+ranked AS (
+  SELECT target_host, url, n_ref_docs,
+         CAST(row_number() OVER (
+           PARTITION BY target_host ORDER BY md5(url), url) - 1
+           AS BIGINT) AS slot
+  FROM urls)
+SELECT target_host, url, n_ref_docs, slot,
+       CAST(slot // 2 AS BIGINT) AS wave
+FROM ranked
+ORDER BY target_host, slot
+"""
+
+
 # --- unigram-LM log-prob quality buckets (CCNet-style stratification) ---------
 # Train a unigram language model ON the corpus itself (token -> corpus
 # frequency), score every document by mean token log-probability, and cut

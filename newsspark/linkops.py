@@ -279,3 +279,71 @@ def crawl_frontier_gated(links: DataFrame, rules: DataFrame) -> DataFrame:
         )
         .orderBy("target_host")
     )
+
+
+def crawl_schedule(
+    links: DataFrame,
+    rules: DataFrame,
+    per_host_slots: int = 2,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Politeness scheduling — the crawl stack's final stage: assign every
+    robots-ALLOWED distinct URL a per-host fetch ``slot`` (hash-ordered,
+    which also randomizes path order within a host) and a ``wave`` such
+    that at most ``per_host_slots`` URLs of one host land in each wave —
+    what a production fetcher consumes after the frontier.
+
+    Scale shape (100 TB): one (host, url) aggregation dedupes requesters;
+    the per-host rank is the BUCKET-COMPOSED form (stratified_sample's r3
+    pattern) — slot = cum_before(host, md5-prefix bucket) + row_number
+    within (host, bucket) — so no window partition ever holds a whole hot
+    host, only one hash-prefix bucket of it (~1/16^bucket_hex_chars of
+    the host's URLs).  Valid because hex-prefix bucket order equals
+    md5-string order; the SQL twin replays the equivalent single global
+    per-host rank ordered by (md5(url), url)."""
+    from pyspark.sql import Window
+
+    if per_host_slots <= 0:
+        raise ValueError(f"per_host_slots must be positive, got {per_host_slots}")
+    allowed = _robots_best(links, rules, carry=("href_abs",)).where(
+        F.col("allowed")
+    )
+    urls = (
+        allowed.groupBy("target_host", "href_abs")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_ref_docs"))
+        .withColumn("h", F.md5("href_abs"))
+        .withColumn("bkt", F.substring("h", 1, bucket_hex_chars))
+    )
+    per_bkt = urls.groupBy("target_host", "bkt").agg(
+        F.count(F.lit(1)).alias("n_in_bkt")
+    )
+    w_bkts = (
+        Window.partitionBy("target_host")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkt_cum = per_bkt.select(
+        "target_host",
+        "bkt",
+        F.coalesce(F.sum("n_in_bkt").over(w_bkts), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    w_in = Window.partitionBy("target_host", "bkt").orderBy("h", "href_abs")
+    slot = (
+        F.col("cum_before") + F.row_number().over(w_in) - 1
+    ).cast("long")
+    return (
+        urls.join(F.broadcast(bkt_cum), ["target_host", "bkt"])
+        .withColumn("slot", slot)
+        .select(
+            "target_host",
+            F.col("href_abs").alias("url"),
+            "n_ref_docs",
+            "slot",
+            F.floor(F.col("slot") / per_host_slots).cast("long").alias(
+                "wave"
+            ),
+        )
+        .orderBy("target_host", "slot")
+    )

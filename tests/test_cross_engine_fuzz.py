@@ -477,6 +477,7 @@ LINK_FUZZ_QUERIES = (
     "link_frontier",
     "robots_filter",
     "crawl_frontier_gated",
+    "crawl_schedule",
 )
 
 _markup = st.sampled_from([

@@ -192,3 +192,70 @@ def test_crawl_frontier_gated_plan_no_link_grain_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("rangepartitioning") == 1, plan
+
+
+def test_crawl_schedule_politeness_semantics(spark):
+    """Per host: slots are contiguous 0..n-1, each wave holds at most
+    per_host_slots URLs, only robots-ALLOWED URLs are scheduled, and the
+    slot order is the md5-hash order the oracle replays."""
+    import hashlib
+
+    from newsspark.linkops import (
+        crawl_schedule,
+        extract_links_core,
+        robots_filter,
+        robots_rules_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    links = extract_links_core(synth_link_pages(docs))
+    rules = robots_rules_df(spark)
+    sched = crawl_schedule(links, rules, per_host_slots=2).toPandas()
+
+    denied = {
+        (r["target_host"], r["path"])
+        for r in robots_filter(links, rules).collect()
+        if not r["allowed"]
+    }
+    assert denied  # corpus must exercise denial
+    for _, r in sched.iterrows():
+        path = r["url"].split("/", 3)
+        assert (r["target_host"], "/" + path[3].split("#")[0]
+                if len(path) > 3 else "") not in denied
+    for host, grp in sched.groupby("target_host"):
+        slots = sorted(grp["slot"])
+        assert slots == list(range(len(grp)))
+        assert (grp.groupby("wave").size() <= 2).all()
+        # hash order pinned against an independent md5 computation
+        by_slot = grp.sort_values("slot")["url"].tolist()
+        want = sorted(by_slot,
+                      key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u))
+        assert by_slot == want
+
+
+def test_crawl_schedule_no_whole_host_window(spark):
+    """The per-host rank must be bucket-composed: the only row_number
+    window partitions by (target_host, bkt) — never a bare host — so a
+    hot host cannot serialize onto one task (stratified_sample's r3
+    lesson applied to scheduling)."""
+    import re
+
+    from newsspark.linkops import (
+        crawl_schedule,
+        extract_links_core,
+        robots_rules_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    links = extract_links_core(synth_link_pages(docs))
+    plan = crawl_schedule(links, robots_rules_df(spark))._jdf.queryExecution(
+    ).executedPlan().toString()
+    specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))",
+        plan)
+    # robots argmax partitions by (doc_id, anchor_idx); the rank window
+    # must partition by (target_host, bkt)
+    assert any("bkt#" in s for s in specs), specs
+    assert not any(
+        "target_host#" in s and "bkt#" not in s for s in specs
+    ), specs
