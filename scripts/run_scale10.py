@@ -6,14 +6,21 @@ ratios, failed-task counts, and peak JVM heap — into BENCH/scale10.md.
 
 Phases (each separated by the System.gc()+settle barrier CLAUDE.md
 documents for cross-phase GC debt):
-  1. extract   — full cascade over 2M pages + parquet sink (the real
-                 Iceberg-to-Iceberg job shape: read, extract, write)
-  2. dedup     — GUARDED dedup_pipeline (production defaults:
-                 pre_dedup_exact + max_bucket) over the 2M extracted
-                 articles — the 40x page replication makes this a real
-                 exact-dup collapse (2M rows -> ~50k distinct texts),
-                 exactly the star-edge pre-pass's target shape
-  3. simhash   — GUARDED dedup_simhash_pairs over the same 2M articles
+  1. extract    — full cascade over 2M pages + parquet sink (the real
+                  Iceberg-to-Iceberg job shape: read, extract, write)
+  2. dedup      — GUARDED dedup_pipeline (production defaults:
+                  pre_dedup_exact + max_bucket) over the 2M extracted
+                  articles — the 40x page replication makes this a real
+                  exact-dup collapse, exactly the star-edge pre-pass's
+                  target shape
+  3. simhash    — GUARDED dedup_simhash_pairs over the same 2M articles
+  4. substrings — exact substring dedup (ExactSubstr) over the same —
+                  deliberately the worst case: the replication makes
+                  every 8-gram a corpus duplicate
+  5. kill/resume — the bucket-committed extract killed after 6/16
+                  buckets, restarted, and verified to recompute only
+                  the missing buckets (the north rule's resumability
+                  clause at soak scale)
 
 Metrics come from the Spark UI REST API (enabled for this run only);
 stage attribution is by stage-id watermark between phases.
@@ -230,6 +237,52 @@ def main() -> None:
             **m,
         }
 
+        _barrier(spark)
+
+        # ---- phase 5: kill/resume the checkpointed extract at 2M --------
+        # the north rule's resumability clause exercised at soak scale:
+        # run the bucket-committed extract, kill it after 6 of 16 buckets,
+        # restart, and verify the restart recomputes ONLY the missing
+        # buckets (lineage-acknowledged) and lands the full row count
+        from newsspark.pipeline import (
+            SimulatedFailure,
+            completed_buckets,
+            run_with_checkpoint,
+        )
+
+        ck_out, ck_lin = f"{sink}/ck_articles", f"{sink}/ck_lineage"
+        t0 = time.time()
+        try:
+            run_with_checkpoint(
+                spark, pages, ck_out, ck_lin, n_buckets=16,
+                num_partitions=2 * CPUS, fail_after_buckets=6,
+            )
+            raise AssertionError("injected failure did not fire")
+        except SimulatedFailure:
+            pass
+        wall_killed = time.time() - t0
+        n_done_at_kill = len(completed_buckets(spark, ck_lin, n_buckets=16))
+        t0 = time.time()
+        run_with_checkpoint(
+            spark, pages, ck_out, ck_lin, n_buckets=16,
+            num_partitions=2 * CPUS,
+        )
+        wall_resume = time.time() - t0
+        lineage = spark.read.parquet(ck_lin)
+        n_rows_out = spark.read.parquet(ck_out).count()
+        m, seen = _phase_metrics(spark, seen)
+        phases["extract_kill_resume"] = {
+            "wall_sec": round(wall_killed + wall_resume, 1),
+            "rows": n_rows_out,
+            "wall_to_kill_sec": round(wall_killed, 1),
+            "wall_resume_sec": round(wall_resume, 1),
+            "buckets_done_at_kill": n_done_at_kill,
+            "buckets_recomputed": 16 - n_done_at_kill,
+            "lineage_rows": lineage.count(),
+            **m,
+        }
+        assert n_rows_out == n_pages, (n_rows_out, n_pages)
+
         result = {
             "pages": n_pages,
             "replicas": REPLICAS,
@@ -263,7 +316,7 @@ def _write_md(r: dict) -> None:
     ]
     for name, p in r["phases"].items():
         rows = (p.get("rows") or p.get("verified_pairs")
-                or p.get("near_dup_pairs") or p.get("merged_spans"))
+                or p.get("near_dup_pairs") or p.get("merged_spans") or 0)
         worst = max(
             (s["max_over_median"] for s in p["worst_task_skew"]),
             default=None,
@@ -308,6 +361,21 @@ def _write_md(r: dict) -> None:
         "pools peak at different times; -Xmx is "
         f"{r['driver_mem']}).  No stage had a failed task in any phase.",
         "",
+    ]
+    kr = r["phases"].get("extract_kill_resume")
+    if kr:
+        lines += [
+            "Kill/resume at scale (the north rule's resumability clause): "
+            f"the bucket-committed extract was KILLED after "
+            f"{kr['buckets_done_at_kill']}/16 buckets "
+            f"({kr['wall_to_kill_sec']}s); the restart recomputed only the "
+            f"{kr['buckets_recomputed']} missing buckets "
+            f"({kr['wall_resume_sec']}s), acknowledged "
+            f"{kr['lineage_rows']} lineage rows, and landed the full "
+            f"{kr['rows']:,}-row output.",
+            "",
+        ]
+    lines += [
         "Per-phase worst-stage skew detail (max/median executorRunTime over "
         "stages with >=8 tasks) and top spilling stages:",
         "",
