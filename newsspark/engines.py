@@ -192,6 +192,49 @@ def _absolutize(src: str, url: str) -> str:
     return src if src.startswith("http") else urljoin(url, src)
 
 
+def _body_selector_imgs(tree):
+    """Per-selector <img> hit lists for _BODY_IMG_SELECTORS, in selector
+    order — output-identical to ``[tree.select(s) for s in selectors]``
+    (each selector is ``<container> img[src]``), but computed with ONE
+    ancestor walk per image instead of eight chain walks: at every
+    ancestor all eight container simples are tested at once and the
+    matches collected as a bitmask.  Selector semantics are exactly
+    _matches_chain's (any ancestor below the document root)."""
+    if not isinstance(tree, Doc):  # bare-Node callers keep the generic path
+        return [tree.select(s) for s in _BODY_IMG_SELECTORS]
+    imgs = [im for im in tree.by_tag.get("img", ()) if "src" in im.attrs]
+    if not imgs:
+        return ()
+    n_sel = len(_BODY_IMG_CONTAINERS)
+    all_mask = (1 << n_sel) - 1
+    tag_bits, id_bits, class_bits = _BODY_IMG_CONTAINER_BITS
+    per_sel: list = [[] for _ in range(n_sel)]
+    for img in imgs:
+        mask = 0
+        anc = img.parent
+        while anc is not None and mask != all_mask:
+            tag = anc.tag
+            if tag != "[document]":
+                mask |= tag_bits.get(tag, 0)
+                attrs = anc.attrs
+                if attrs:
+                    mask |= id_bits.get(attrs.get("id", ""), 0)
+                    cls = attrs.get("class")
+                    if cls:
+                        hit = class_bits.get(cls, 0)
+                        if hit:  # whole attr == one clean token
+                            mask |= hit
+                        else:  # multi-token / any-whitespace: full split
+                            for tok in cls.split():
+                                mask |= class_bits.get(tok, 0)
+            anc = anc.parent
+        if mask:
+            for k in range(n_sel):
+                if (mask >> k) & 1:
+                    per_sel[k].append(img)
+    return per_sel
+
+
 def extract_images_priority(tree: Node, url: str) -> List[str]:
     """og:image -> twitter:image -> body-selector imgs -> generic fallback,
     then ordered dedupe + filter (extractor.py:93-158)."""
@@ -207,8 +250,8 @@ def extract_images_priority(tree: Node, url: str) -> List[str]:
         if raw not in images:  # novelty tested on the RAW value (extractor.py:111)
             images.append(_absolutize(raw, url))
 
-    for selector in _BODY_IMG_SELECTORS:  # extractor.py:129
-        for img in tree.select(selector):
+    for imgs in _body_selector_imgs(tree):  # extractor.py:129
+        for img in imgs:
             src = img.get("src") or img.get("data-src")
             if src:
                 img_url = _absolutize(src, url)
@@ -310,7 +353,44 @@ def clean_text(text: str) -> str:
 # but were recomputed per engine.
 # ---------------------------------------------------------------------------
 
-from .htmlite import _parse_selector, _matches_chain, _matches_find  # noqa: E402
+from .htmlite import (  # noqa: E402
+    _matches_chain,
+    _matches_find,
+    _matches_simple,
+    _parse_selector,
+)
+
+# container halves of _BODY_IMG_SELECTORS (every selector is
+# "<container> img[src]"), pre-parsed once for _body_selector_imgs
+_BODY_IMG_CONTAINERS = tuple(
+    _parse_selector(s)[0][0] for s in _BODY_IMG_SELECTORS
+)
+
+
+def _container_bit_tables(containers):
+    """Compile single-feature container simples (a bare tag, one class, or
+    one #id — all of _BODY_IMG_SELECTORS' containers) into three
+    feature -> bitmask dicts so one ancestor visit resolves all selectors
+    with dict lookups.  Asserts the single-feature shape so a future
+    selector edit cannot silently change matching semantics."""
+    tag_bits: dict = {}
+    id_bits: dict = {}
+    class_bits: dict = {}
+    for k, (tag, node_id, classes, attrs) in enumerate(containers):
+        bit = 1 << k
+        assert not attrs, "container selectors must be tag/.class/#id only"
+        n_features = (tag is not None) + (node_id is not None) + len(classes)
+        assert n_features == 1, "container selectors must be single-feature"
+        if tag is not None:
+            tag_bits[tag] = tag_bits.get(tag, 0) | bit
+        elif node_id is not None:
+            id_bits[node_id] = id_bits.get(node_id, 0) | bit
+        else:
+            class_bits[classes[0]] = class_bits.get(classes[0], 0) | bit
+    return tag_bits, id_bits, class_bits
+
+
+_BODY_IMG_CONTAINER_BITS = _container_bit_tables(_BODY_IMG_CONTAINERS)
 
 
 class Doc:
@@ -322,12 +402,29 @@ class Doc:
     def __init__(self, tree: Node, url: str = ""):
         self.tree = tree
         self.url = url
-        self.elements = list(tree.iter_elements())
+        # inline pre-order DFS (same order as tree.iter_elements(), without
+        # the per-node generator/list-comprehension overhead)
+        elements: list = []
         by_tag: dict = {}
         pos: dict = {}
-        for i, el in enumerate(self.elements):
-            by_tag.setdefault(el.tag, []).append(el)
+        stack = [c for c in reversed(tree.children) if isinstance(c, Node)]
+        i = 0
+        while stack:
+            el = stack.pop()
+            elements.append(el)
+            bucket = by_tag.get(el.tag)
+            if bucket is None:
+                by_tag[el.tag] = [el]
+            else:
+                bucket.append(el)
             pos[id(el)] = i
+            i += 1
+            children = el.children
+            if children:
+                stack.extend(
+                    c for c in reversed(children) if isinstance(c, Node)
+                )
+        self.elements = elements
         self.by_tag = by_tag
         self.pos = pos
         self._images_priority = None
@@ -462,7 +559,10 @@ def _norm_space(text: str) -> str:
 def _is_excluded(node: Node) -> bool:
     if node.tag in SKIP_TAGS:
         return True
-    blob = node.attrs.get("class", "") + " " + node.attrs.get("id", "")
+    attrs = node.attrs
+    if not attrs:  # hot path: most elements carry no class/id at all
+        return False
+    blob = attrs.get("class", "") + " " + attrs.get("id", "")
     return bool(blob.strip()) and bool(_BOILER_RE.search(blob))
 
 
@@ -477,10 +577,26 @@ def _under_exclusion(node: Node, stop: Optional[Node] = None) -> bool:
 
 
 def _link_ratio(node: Node) -> float:
-    total = len(node.get_text(""))
+    # Fused single walk over the subtree; identical arithmetic to
+    #   total  = len(node.get_text(""))
+    #   linked = sum(len(a.get_text("")) for a in node.find_all("a"))
+    # including the original's nested-<a> multiplicity (text under k
+    # stacked anchors counted k times in ``linked``).
+    total = 0
+    linked = 0
+    stack = [(node, 0)]
+    while stack:
+        cur, a_depth = stack.pop()
+        for c in cur.children:
+            if isinstance(c, str):
+                ln = len(c)
+                total += ln
+                if a_depth:
+                    linked += ln * a_depth
+            else:
+                stack.append((c, a_depth + 1 if c.tag == "a" else a_depth))
     if total == 0:
         return 0.0
-    linked = sum(len(a.get_text("")) for a in node.find_all("a"))
     return linked / total
 
 

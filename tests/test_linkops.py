@@ -259,3 +259,66 @@ def test_crawl_schedule_no_whole_host_window(spark):
     assert not any(
         "target_host#" in s and "bkt#" not in s for s in specs
     ), specs
+
+
+def test_robots_best_mapside_no_link_grain_exchange(spark):
+    """r6: the _robots_best core used by crawl_frontier_gated/crawl_schedule
+    computes the REP verdict map-side (broadcast host join + array argmax):
+    no (doc_id, anchor_idx) exchange, sort, or window may appear — the
+    verdict must live inside the scan stage."""
+    from newsspark.linkops import (
+        _robots_best,
+        extract_links_core,
+        robots_rules_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    links = extract_links_core(synth_link_pages(docs))
+    out = _robots_best(links, robots_rules_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "Window" not in plan, plan
+    # and it agrees with the windowed robots_filter verdict row-for-row
+    from newsspark.linkops import robots_filter
+
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, robots_filter(
+        links, robots_rules_df(spark)).collect()))
+    assert got == want
+
+
+def test_crawl_schedule_cum_join_not_forced_broadcast(spark):
+    """r6 (VERDICT r5 #1): bkt_cum holds one row per (host, bucket) pair and
+    hosts are unbounded, so the slot-composition join must NOT carry a
+    broadcast hint — a hint forces the driver-side collect-and-ship even
+    when the planner knows the table is huge.  With auto-broadcast
+    disabled (simulating a cum table past the size estimate), the join
+    must plan as a SHUFFLE join on (target_host, bkt); the hinted r5 form
+    would still broadcast here.  Results are unchanged either way."""
+    import re
+
+    from newsspark.linkops import (
+        crawl_schedule,
+        extract_links_core,
+        robots_rules_df,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        links = extract_links_core(synth_link_pages(docs))
+        out = crawl_schedule(links, robots_rules_df(spark))
+        rows_noauto = sorted(map(tuple, out.collect()))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin) \[target_host#\d+, bkt#\d+\]",
+            plan,
+        ), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    rows_auto = sorted(map(tuple, crawl_schedule(
+        extract_links_core(synth_link_pages(docs)), robots_rules_df(spark)
+    ).collect()))
+    assert rows_noauto == rows_auto
