@@ -1031,7 +1031,7 @@ def _parse_real_header(fmt: str, payload: bytes) -> dict:
                     # reconstruction exists)
                     px = _jpeg_pixels(payload)
                     out["mean_pixel"] = float(px.mean())
-                except NotImplementedError:
+                except Exception:
                     pass
                 return out
             if marker == 0xDA:  # start of scan: no SOF seen, give up
@@ -1209,7 +1209,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     # every_ms grid point with its TRUE display time
                     try:
                         frames = _gif_frames(raw)
-                    except (ValueError, struct.error) as exc:
+                    except Exception as exc:
                         rows.append((media_id, None, None, f"gif: {exc}"))
                         continue
                     if len(frames) <= 1:
@@ -1229,7 +1229,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     # NULL; a seek-based extractor works in timestamps)
                     try:
                         duration = _mp4_meta(raw)["duration_ms"]
-                    except ValueError as exc:
+                    except Exception as exc:
                         rows.append((media_id, None, None, f"mp4: {exc}"))
                         continue
                     if duration <= 0:
@@ -1276,7 +1276,7 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                 if raw[:2] == b"P6":
                     try:
                         arr = _ppm_pixels(raw).reshape(-1)
-                    except ValueError as exc:
+                    except Exception as exc:
                         vecs.append(None)
                         errs.append(f"ppm: {exc}")
                         continue
@@ -1286,7 +1286,7 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                         if px is None:
                             raise ValueError("no image data")
                         arr = px.reshape(-1)
-                    except (ValueError, struct.error) as exc:
+                    except Exception as exc:
                         vecs.append(None)
                         errs.append(f"gif: {exc}")
                         continue
@@ -1296,7 +1296,7 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                         if px is None:
                             raise ValueError("no image data")
                         arr = px.reshape(-1)
-                    except (ValueError, NotImplementedError) as exc:
+                    except Exception as exc:
                         vecs.append(None)
                         errs.append(f"png: {exc}")
                         continue
@@ -1307,7 +1307,7 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                         # general jpegs have no exact decode: embed over
                         # container bytes like the other stubbed formats
                         arr = np.frombuffer(raw, dtype=np.uint8)
-                    except ValueError as exc:
+                    except Exception as exc:
                         vecs.append(None)
                         errs.append(f"jpeg: {exc}")
                         continue
@@ -1316,7 +1316,7 @@ def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
                         _, arr = _wav_chunks(raw)
                         if arr is None:
                             raise ValueError("no data chunk")
-                    except ValueError as exc:
+                    except Exception as exc:
                         vecs.append(None)
                         errs.append(f"wav: {exc}")
                         continue

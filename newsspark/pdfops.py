@@ -138,6 +138,29 @@ def synth_pdf(doc_id: int, title: str, body: str) -> bytes:
 
 _OBJ_START_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_RE = re.compile(rb"stream\r?\n")
+# precompiled hot patterns (r6: the per-call re.match/re.search module
+# helpers were ~30% of parse_pdf's profile via cache lookups + slicing)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,8}")  # {1,8} == the old 8-byte slice cap
+_WS_RE = re.compile(rb"\s")
+_NUM_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_TITLE_OPEN_RE = re.compile(rb"/Title\s*\(")
+_NAME_RE_CACHE: dict = {}
+
+
+def _name_res(name: str):
+    got = _NAME_RE_CACHE.get(name)
+    if got is None:
+        got = (
+            re.compile(rb"/" + name.encode() + rb"\s+(\d+)\s+\d+\s+R"),
+            re.compile(rb"/" + name.encode() + rb"\s*\[(.*?)\]", re.S),
+        )
+        _NAME_RE_CACHE[name] = got
+    return got
+
+
 _ESCAPES = {
     ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t", ord("b"): b"\b",
     ord("f"): b"\f", ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
@@ -194,8 +217,7 @@ def _objects(data: bytes) -> dict[int, bytes]:
             # multi-digit object number like "123 0 R" to a fake literal) —
             # matching its "8" as a literal length silently truncated real
             # PDFs; without a resolvable literal we fall to endstream scan
-            lm = re.search(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)",
-                           data[body_start: sm.start()])
+            lm = _LENGTH_RE.search(data, body_start, sm.start())
             if lm:
                 skip_to = sm.end() + int(lm.group(1))
             else:
@@ -210,16 +232,16 @@ def _objects(data: bytes) -> dict[int, bytes]:
 
 
 def _ref(body: bytes, name: str) -> int | None:
-    m = re.search(rb"/" + name.encode() + rb"\s+(\d+)\s+\d+\s+R", body)
+    m = _name_res(name)[0].search(body)
     return int(m.group(1)) if m else None
 
 
 def _refs(body: bytes, name: str) -> list[int]:
-    m = re.search(rb"/" + name.encode() + rb"\s*\[(.*?)\]", body, re.S)
+    m = _name_res(name)[1].search(body)
     if not m:
         one = _ref(body, name)
         return [one] if one is not None else []
-    return [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    return [int(g) for g in _NUM_REF_RE.findall(m.group(1))]
 
 
 def _stream_bytes(obj_body: bytes) -> bytes | None:
@@ -227,12 +249,11 @@ def _stream_bytes(obj_body: bytes) -> bytes | None:
     /Length entry bounds the payload exactly — compressed data may END in
     EOL bytes, so stripping trailing whitespace would corrupt it (a real
     1-in-256-docs failure before /Length was honored)."""
-    m = re.search(rb"stream\r?\n", obj_body)
+    m = _STREAM_RE.search(obj_body)
     if not m:
         return None
     start = m.end()
-    length_m = re.search(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)",
-                         obj_body[: m.start()])
+    length_m = _LENGTH_RE.search(obj_body, 0, m.start())
     if length_m:
         raw = obj_body[start : start + int(length_m.group(1))]
     else:
@@ -317,7 +338,7 @@ def _content_text(stream: bytes) -> str:
             j = stream.find(b">", i)
             if j < 0:
                 break
-            hx = re.sub(rb"\s", b"", stream[i + 1 : j])
+            hx = _WS_RE.sub(b"", stream[i + 1 : j])
             if len(hx) % 2:
                 hx += b"0"
             pend.append(bytes.fromhex(hx.decode("ascii", "ignore")))
@@ -325,7 +346,7 @@ def _content_text(stream: bytes) -> str:
         elif c == 0x5B or c == 0x5D:  # [ ] — TJ array delimiters
             i += 1
         else:
-            m = re.match(rb"[A-Za-z'\"*]+", stream[i : i + 8])
+            m = _OP_RE.match(stream, i)
             if m:
                 op = m.group(0)
                 if op in (b"Tj", b"TJ"):
@@ -356,14 +377,14 @@ def parse_pdf(data: bytes) -> dict:
                     "error": "not-a-pdf: missing %PDF header"}
         objs = _objects(data)
         title = ""
-        info_m = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", data)
+        info_m = _INFO_RE.search(data)
         if info_m and int(info_m.group(1)) in objs:
-            t = re.search(rb"/Title\s*\(", objs[int(info_m.group(1))])
+            t = _TITLE_OPEN_RE.search(objs[int(info_m.group(1))])
             if t:
                 raw, _ = _parse_literal(objs[int(info_m.group(1))],
                                         t.end() - 1)
                 title = raw.decode("latin-1")
-        root_m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+        root_m = _ROOT_RE.search(data)
         page_objs: list[int] = []
         if root_m and int(root_m.group(1)) in objs:
             pages_ref = _ref(objs[int(root_m.group(1))], "Pages")

@@ -1351,6 +1351,7 @@ def pack_sequences(
     docs: DataFrame,
     budget: int = 128,
     bucket_width: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """GPT-style training-sequence packing map: conceptually concatenate
     every document's tokens in doc_id order and cut the stream into fixed
@@ -1380,6 +1381,14 @@ def pack_sequences(
     of MB each) instead of a fixed knob whose safe value depends on n
     (the r4 foot-gun, VERDICT "Next round" #3).  Pass an explicit width
     for testability / to reuse a known corpus size.
+
+    CAVEAT (ADVICE r5): the self-scaling count() is one extra ACTION that
+    re-executes ``docs``'s lineage.  Over a parquet scan that is a cheap
+    column-pruned pass, but over an expensive upstream (extraction,
+    mapInPandas) it roughly doubles the work unless the caller cached.
+    Callers with expensive lineage should pass ``n_docs`` (an upper bound
+    is fine — the width only balances the two windows, ~sqrt(n)) or an
+    explicit ``bucket_width``; results are identical either way.
     All arithmetic is integer, so the SQL twin ("pack_sequences" in
     contract_sql.py) matches bit-for-bit; builder equivalence and the
     no-global-window plan shape are pinned in tests/test_textops.py.
@@ -1389,7 +1398,9 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if bucket_width is None:
-        bucket_width = _derive_bucket_width(docs.count())
+        bucket_width = _derive_bucket_width(
+            docs.count() if n_docs is None else int(n_docs)
+        )
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     t = with_tokens(docs).select(

@@ -541,3 +541,33 @@ def test_jpeg_dc_only_decode_is_real():
     assert d["mean_pixel"] == float(px.mean())
     with pytest.raises(ValueError):
         _jpeg_pixels(make_real_jpeg(1, 16, 16)[:40])
+
+
+def test_corrupt_payloads_route_to_error_rows_everywhere(spark):
+    """Per-row totality on arbitrary corrupt bytes (ADVICE r5): truncated
+    GIF/PNG/JPEG soup raised IndexError out of frame_sample/embed_media's
+    narrow except clauses and killed the task; every decode surface must
+    instead emit an error (or degraded-metadata) row per input row."""
+    from newsspark.multimodal import decode_media, embed_media, frame_sample
+
+    evil = [
+        (1, 1, "image", b"GIF89a" + b"\x05\x00\x05\x00\x91", 5, 5, 0),
+        (2, 2, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"IHDR\xff", 5,
+         5, 0),
+        (3, 3, "image", b"\xff\xd8\xff\xe0" + b"\x00\x10JFIF\x00", 5, 5, 0),
+        (4, 4, "video", b"GIF89a\x05\x00", 5, 5, 0),
+        (5, 5, "audio", b"RIFF\x04\x00\x00\x00WAVE", 0, 0, 0),
+        (6, 6, "video", b"FVID\x00\x00", 5, 5, 0),
+        (7, 7, "video", b"xxxxftypisom", 5, 5, 0),
+    ]
+    media = spark.createDataFrame(evil, MEDIA_SCHEMA)
+    dec = decode_media(media).collect()
+    assert len(dec) == len(evil)  # one row per input, no task death
+    # frame_sample only consumes kind == "video"
+    fs = frame_sample(media).collect()
+    assert {r["media_id"] for r in fs} == {4, 6, 7}
+    assert all(r["error"] is not None for r in fs)
+    emb = embed_media(media).collect()
+    assert len(emb) == len(evil)
+    for r in emb:
+        assert r["embedding"] is not None or r["error"] is not None

@@ -1017,3 +1017,20 @@ def test_dedup_substring_spans_builder_equals_twin_and_hash_paths(spark):
         spark.read.parquet(f"{SF}/documents.parquet")))
     assert c.values.tolist() == a.values.tolist()
     assert len(a) > 0  # the corpus plants cross-doc duplicate passages
+
+
+def test_pack_sequences_n_docs_hint_identical(spark, docs):
+    """ADVICE r5: the self-scaling bucket_width count() doubles expensive
+    lineages; the n_docs hint must skip the count while producing identical
+    packing (any ~n upper bound lands on the same or a near power-of-two
+    width, and output is width-invariant)."""
+    from newsspark import textops
+
+    n = docs.count()
+    base = textops.pack_sequences(docs).collect()
+    hinted = textops.pack_sequences(docs, n_docs=n).collect()
+    assert hinted == base
+    # an upper-bound hint (4x) changes only the internal bucketing, never
+    # the packing map
+    loose = textops.pack_sequences(docs, n_docs=4 * n).collect()
+    assert loose == base
