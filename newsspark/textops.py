@@ -1678,6 +1678,7 @@ def dedup_substring_spans(
     min_count: int = 2,
     hash_fn: str = "xxhash64",
     text_col: str = "text",
+    pre_dedup_exact: bool = False,
 ) -> DataFrame:
     """Exact substring dedup (ExactSubstr, Lee et al. 2022) as DataFrame
     ops: every token span occurring at least ``min_count`` times anywhere
@@ -1691,21 +1692,58 @@ def dedup_substring_spans(
     (a window bounded by document length).  ``hash_fn="md5_60"`` replays
     the SQL twin ("dedup_substring_spans" in contract_sql.py) exactly;
     ``xxhash64`` is the production default (one JVM intrinsic per gram
-    instead of md5+conv — the dedup-ops convention)."""
+    instead of md5+conv — the dedup-ops convention).
+
+    ``pre_dedup_exact`` (r6, VERDICT r5 #2): collapse byte-identical texts
+    to one representative BEFORE the k-gram explode (the
+    minhash_lsh_candidates star-edge pattern) and map the representative's
+    spans back to every member afterwards.  Output is IDENTICAL by
+    construction on ANY corpus — the representative's gram counts are
+    weighted by cluster size, so corpus-wide occurrence counts (and hence
+    every span) match the unguarded run exactly (pinned by a planted
+    replica test) — but a B-times-replicated corpus explodes B-times fewer
+    gram rows: the r5 soak's designed worst case (2M pages, 100%
+    duplication) spilled ~16 GB purely from re-exploding identical texts.
+    Default False: the unguarded form is the oracle twin's semantics and
+    is cheaper on low-duplication corpora (the pre-pass costs one
+    text-keyed window exchange + a member map-back join); enable it on
+    replica-heavy web corpora where the gram explode dominates."""
     from pyspark.sql import Window
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    toks = with_tokens(docs, text_col).select("doc_id", "tokens").where(
-        F.size("tokens") >= k
-    )
+    members = None
+    base = docs
+    weight = F.lit(1).cast("long")
+    if pre_dedup_exact:
+        keyed = docs.select("doc_id", text_col).withColumn(
+            "_th", F.md5(F.col(text_col))
+        )
+        wth = Window.partitionBy("_th")
+        tagged = keyed.withColumn(
+            "_rep", F.min("doc_id").over(wth)
+        ).withColumn("_n", F.count(F.lit(1)).over(wth))
+        members = tagged.select(
+            F.col("_rep").alias("_m_rep"), F.col("doc_id").alias("_m_doc")
+        )
+        base = tagged.where(F.col("doc_id") == F.col("_rep")).select(
+            "doc_id", text_col, "_n"
+        )
+        weight = F.col("_n")
+    toks = with_tokens(base, text_col).select(
+        "doc_id", "tokens", weight.alias("_w")
+    ).where(F.size("tokens") >= k)
     gram = F.concat_ws(" ", F.slice(F.col("tokens"), F.col("pos") + 1, k))
     grams = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.size("tokens") - k)).alias("pos"),
         "tokens",
-    ).select("doc_id", "pos", _hash_plain(gram, hash_fn).alias("gh"))
-    dup = grams.groupBy("gh").count().where(F.col("count") >= min_count)
+        "_w",
+    ).select("doc_id", "pos", _hash_plain(gram, hash_fn).alias("gh"), "_w")
+    # weighted occurrence count == the unguarded per-position row count
+    dup = grams.groupBy("gh").agg(F.sum("_w").alias("count")).where(
+        F.col("count") >= min_count
+    )
     hits = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
@@ -1716,7 +1754,7 @@ def dedup_substring_spans(
     grp = hits.withColumn("brk", brk).withColumn(
         "island", F.sum("brk").over(w)
     )
-    return (
+    spans = (
         grp.groupBy("doc_id", "island")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -1724,5 +1762,14 @@ def dedup_substring_spans(
             F.count(F.lit(1)).alias("n_gram_hits"),
         )
         .select("doc_id", "span_start", "span_end", "n_gram_hits")
-        .orderBy("doc_id", "span_start")
     )
+    if members is not None:
+        # replicate each representative's spans onto every cluster member
+        # (identical text -> identical positions -> identical spans)
+        spans = spans.join(
+            members, spans["doc_id"] == members["_m_rep"]
+        ).select(
+            F.col("_m_doc").alias("doc_id"),
+            "span_start", "span_end", "n_gram_hits",
+        )
+    return spans.orderBy("doc_id", "span_start")

@@ -1034,3 +1034,32 @@ def test_pack_sequences_n_docs_hint_identical(spark, docs):
     # the packing map
     loose = textops.pack_sequences(docs, n_docs=4 * n).collect()
     assert loose == base
+
+
+def test_substring_spans_exact_prepass_identical_on_replicas(spark, docs):
+    """r6 (VERDICT r5 #2): the exact-dup pre-pass must be OUTPUT-IDENTICAL
+    to the unguarded run on a replica-heavy corpus — including min_count
+    crossings that only happen BECAUSE of replication (a gram unique per
+    doc occurs B times corpus-wide after B-fold replication; the weighted
+    representative count must reproduce that exactly)."""
+    from pyspark.sql import functions as F
+
+    from newsspark import textops
+
+    base = docs.limit(60).select("doc_id", "text")
+    replicated = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"), "doc_id", "text"
+    ).select(
+        (F.col("doc_id") + F.col("r") * 100000).alias("doc_id"), "text"
+    )
+    unguarded = sorted(map(tuple, textops.dedup_substring_spans(
+        replicated).collect()))
+    guarded = sorted(map(tuple, textops.dedup_substring_spans(
+        replicated, pre_dedup_exact=True).collect()))
+    assert unguarded == guarded
+    assert unguarded  # replication must actually produce spans
+    # and on the standard (low-dup) corpus the two paths agree too
+    u2 = sorted(map(tuple, textops.dedup_substring_spans(docs).collect()))
+    g2 = sorted(map(tuple, textops.dedup_substring_spans(
+        docs, pre_dedup_exact=True).collect()))
+    assert u2 == g2
