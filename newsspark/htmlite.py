@@ -297,6 +297,10 @@ class _TreeBuilder(HTMLParser):
         i, n = 0, len(rawdata)
         handle_data = self.handle_data
         stack = self.stack
+        find = rawdata.find
+        fast_start = _FAST_START.match
+        fast_attr = _FAST_ATTR.finditer
+        end_tag = _endtagfind.match
         while i < n:
             if self.cdata_elem:
                 # inside <script>/<style>: everything up to the matching
@@ -313,24 +317,30 @@ class _TreeBuilder(HTMLParser):
                 self.clear_cdata_mode()
                 i = match.end()
                 continue
-            j = rawdata.find("<", i)
+            j = find("<", i)
             if j < 0:
                 j = n
             if i < j:
                 text = rawdata[i:j]
                 if "&" in text:
                     text = _unescape(text)
-                handle_data(text)
+                # inline handle_data (hot: ~27 calls/page)
+                if text:
+                    children = stack[-1].children
+                    if children and isinstance(children[-1], str):
+                        children[-1] += text
+                    else:
+                        children.append(text)
             i = j
             if i == n:
                 break
-            m = _FAST_START.match(rawdata, i)
+            m = fast_start(rawdata, i)
             if m:
                 tag = m.group(1).lower()
                 attrs_src = m.group(2)
                 attr_dict: dict = {}
                 if attrs_src:
-                    for am in _FAST_ATTR.finditer(attrs_src):
+                    for am in fast_attr(attrs_src):
                         name = am.group(1).lower()
                         if name not in attr_dict:
                             attr_dict[name] = am.group(2) or ""
@@ -355,7 +365,7 @@ class _TreeBuilder(HTMLParser):
                     parent.children.append(node)
                 i = m.end()
                 continue
-            m = _endtagfind.match(rawdata, i)
+            m = end_tag(rawdata, i)
             if m:
                 # when endtagfind matches, the stdlib parse_endtag reduces
                 # to exactly this (its first '>' IS this match's '>')
