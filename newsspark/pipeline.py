@@ -90,7 +90,7 @@ def run_extract(
     spark: SparkSession,
     pages: DataFrame,
     num_partitions: Optional[int] = None,
-    size_lane_bytes: Optional[int] = 4 * 1024 * 1024,
+    size_lane_bytes: Optional[int] = None,
     site_rules: Optional[DataFrame] = None,
     pre_bucketed: bool = False,
 ) -> DataFrame:
@@ -183,6 +183,18 @@ def run_extract(
         # Size-lane split: oversized documents get their own, finer-grained
         # lane so Arrow batches stay bounded and stragglers don't serialize
         # a whole partition behind one huge page.
+        # r6: OFF by default.  The split's only plan-level effect is routing
+        # rows through a second filter+exchange+UDF branch, and since both
+        # branches re-SCAN the pages source, the big-lane pass re-reads and
+        # re-decodes every html payload even when zero rows qualify —
+        # measured 4.75s vs 3.42s (interleaved best-of-4, 200k pages, w32)
+        # purely from the duplicate scan.  Batch memory is now bounded
+        # directly by spark.sql.execution.arrow.maxBytesPerBatch (set in
+        # newsspark.session — the Spark 4 knob that caps batch BYTES, which
+        # is what the lane split approximated with a row-size predicate).
+        # Pass size_lane_bytes explicitly to re-enable the split; row-level
+        # output is identical either way (the UDF is row-wise; pinned by
+        # test_huge_pages_route_through_size_lane_identically).
         # coalesce: NULL html must not fall through both lanes
         is_big = F.coalesce(
             F.length("html") > F.lit(int(size_lane_bytes)), F.lit(False)

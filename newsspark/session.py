@@ -24,8 +24,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bound Arrow batches so a run of large documents cannot blow the
-        # Python worker's memory (SURVEY.md §4.2 / hard part 5).
+        # Python worker's memory (SURVEY.md §4.2 / hard part 5).  r6: the
+        # byte cap (Spark 4) bounds fat-row batches DIRECTLY — a 20 MB page
+        # becomes its own batch — which replaces run_extract's size-lane
+        # split (that split re-scanned the pages source for the big lane;
+        # see pipeline.run_extract).  512 rows still caps the common case.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         .config("spark.driver.memory", os.environ.get("NEWSSPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

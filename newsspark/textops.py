@@ -709,9 +709,13 @@ def ivf_train(
     (no RNG state); centroid values are rounded to 9 decimals when collected
     so float partial-aggregate merge-order jitter (shuffle-fetch order is not
     deterministic) cannot flip a borderline argmin between runs; empty cells
-    keep their previous centroid."""
-    first = emb.select("embedding").first()
-    dim = len(first["embedding"])
+    keep their previous centroid.
+
+    r6: ``dim`` is inferred from the init aggregation's own rows
+    (max position + 1) instead of a separate ``first()`` action — one
+    driver job fewer per training call, identical centroids (the init
+    assignment covers every vector, so some cell always carries all
+    ``dim`` positions; an empty input raises either way)."""
 
     def centroids_of(assigned: DataFrame, prev) -> "np.ndarray":
         rows = (
@@ -720,11 +724,13 @@ def ivf_train(
             .agg(F.avg("v").alias("m"))
             .collect()
         )
-        cents = (
-            np.array(prev, dtype=np.float64, copy=True)
-            if prev is not None
-            else np.zeros((n_centroids, dim))
-        )
+        if prev is not None:
+            cents = np.array(prev, dtype=np.float64, copy=True)
+        else:
+            if not rows:
+                raise ValueError("ivf_train: empty embedding input")
+            dim = max(r["pos"] for r in rows) + 1
+            cents = np.zeros((n_centroids, dim))
         for r in rows:
             cents[r["cell"], r["pos"]] = round(float(r["m"]), 9)
         return cents

@@ -33,6 +33,7 @@ def main() -> None:
         SparkSession.builder.appName(f"newsspark-scaling-{args.cores}")
         .config("spark.sql.shuffle.partitions", str(args.cores))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

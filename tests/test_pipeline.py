@@ -325,3 +325,31 @@ def test_curate_corpus_every_stage_bites(spark):
     assert int((out["n_copies"] > 1).sum()) == 1
     assert int((~out["keep"]).sum()) == 1
     assert (out[~out["keep"]]["n_tokens"] < 128).all()
+
+
+def test_huge_pages_through_default_single_lane(spark):
+    """r6: the size-lane split is off by default (its big-lane branch
+    re-scanned the whole source); fat rows are bounded by
+    arrow.maxBytesPerBatch instead.  Multi-MB pages must still extract
+    identically through the default single-lane path."""
+    import duckdb
+
+    from newsspark.engines import extract_article
+    from newsspark.pages import pages_pdf
+
+    docs = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' "
+        "where doc_id < 30"
+    ).fetchall()
+    pdf = pages_pdf([d for d, _ in docs], [t for _, t in docs], huge_every=10)
+    assert (pdf["html"].map(len) > 2_000_000).any()
+    pages = spark.createDataFrame(
+        pdf[["url", "html"]], "url string, html binary"
+    )
+    got = {r["url"]: r for r in run_extract(
+        spark, pages, num_partitions=4).collect()}
+    assert len(got) == len(pdf)
+    for _, row in pdf.iterrows():
+        want = extract_article(row["url"], row["html"])
+        assert got[row["url"]]["text"] == want["text"], row["url"]
+        assert got[row["url"]]["method"] == want["method"]
