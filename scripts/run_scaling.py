@@ -134,9 +134,16 @@ def main() -> None:
     else:
         # append mode: accumulate rounds across invocations; each round is
         # internally consistent (back-to-back), so more rounds = better odds
-        # of catching a quiet window
+        # of catching a quiet window.
+        # r6: each level takes BEST-OF-2 in-process repeats (run_one's
+        # repeats param, same as the bench's w8 lane) — a single repeat
+        # folded the Python-worker spawn + JIT cold start (~2.4s) into the
+        # wall, which is amortized at w2 (26s job) but was ~27% of the w8
+        # wall once the r6 engine got ~2x faster, silently deflating every
+        # N->4N efficiency; measured w8 8.8-9.0s at repeats=1 vs 6.3-6.8s
+        # at repeats>=2 in the same windows.
         for _ in range(args.repeats):
-            {c: run_one(c, pages, zpath, out_json, 1) for c in levels}
+            {c: run_one(c, pages, zpath, out_json, 2) for c in levels}
         with open(out_json, encoding="utf-8") as f:
             runs = [json.loads(l) for l in f if l.strip()]
         rounds = [
@@ -199,7 +206,10 @@ synthesized deterministically from `{SF_DIR}/documents.parquet`
 of {len(rounds)} rounds; the table shows the round with the best N=2->4N=8
 efficiency (per-round pairing — the host has minutes-long noisy-neighbor
 windows, so levels must never be compared across windows; all rounds are in
-scaling.json). Wall time excludes session startup. `hw python-mp` is the
+scaling.json). Wall time excludes session startup and the first-run
+worker-spawn/JIT cold start (each level reports the best of 2
+back-to-back in-process repeats, matching the bench's w8 lane).
+`hw python-mp` is the
 raw-hardware baseline: the same per-document work on plain multiprocessing,
 no Spark.
 
