@@ -198,7 +198,7 @@ def main() -> None:
     md = f"""# BENCH/BASELINE — measured extraction throughput & scaling
 
 Same job (`scripts/bench_job.py`: read cached pages -> explicit
-`repartition(n, xxhash64(url))` -> size lane -> ONE vectorized pandas-UDF
+`repartition(n, xxhash64(url))` -> ONE vectorized pandas-UDF
 cascade -> aggregate) launched via `spark-submit --py-files newsspark.zip`
 on the same input: {spark_runs[8]['pages']:,} Common-Crawl-style pages
 synthesized deterministically from `{SF_DIR}/documents.parquet`
