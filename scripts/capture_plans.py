@@ -53,6 +53,8 @@ def builders(spark):
     def links():
         return extract_links_core(synth_link_pages(docs, num_partitions=32))
 
+    from newsspark.pdfops import extract_pdf_table, synth_pdf_table
+
     import __spark_entry__ as entrymod
 
     entrymod._views(spark, SF_DIR)
@@ -67,6 +69,9 @@ def builders(spark):
         "dedup_lines": lambda: textops.dedup_lines(lined),
         "dedup_substring_spans": lambda: textops.dedup_substring_spans(docs),
         "pack_sequences": lambda: textops.pack_sequences(docs),
+        "pdf_extract": lambda: extract_pdf_table(
+            synth_pdf_table(docs, num_partitions=32)
+        ),
         "quality_score": lambda: textops.quality_score(docs),
         "ann_bruteforce_topk": lambda: textops.ann_bruteforce_topk(emb),
         "ann_lsh_topk": lambda: textops.ann_lsh_topk(emb),
